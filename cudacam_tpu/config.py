@@ -1,0 +1,117 @@
+"""Configuration for the TPU-native Canny pipeline.
+
+The reference keeps its configuration in three tiers — compile-time CMake
+options, compile-time constants (thresholds 10/40 at cannyEdgeH.cu:22-23,
+Gaussian taps at cannyEdgeH.cu:372-380, grad coefficient at cannyEdgeD.cu:28),
+and runtime UI state (imguiApp.cpp:303-349). This module promotes all of them
+into one frozen dataclass, plus the extensions mandated by BASELINE.json:
+variable kernel size (3/5/7), L1/L2 gradient norm, and sharding/mesh shape.
+
+Static vs runtime split: fields that change compiled code (shapes, kernel
+size, norm, backend, final stage) are static; thresholds are *runtime*
+arguments to the jitted pipeline so slider changes never recompile
+(the reference pays a kernel re-launch, we pay nothing).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Integer Gaussian taps. The 5x5 set is the canonical Canny-paper kernel used
+# by the reference (cannyEdgeH.cu:372-380, sum 159). 3x3 / 7x7 are standard
+# binomial kernels (powers of two, so the normalisation is a shift) added per
+# BASELINE.json config 3.
+GAUSSIAN_TAPS: dict[int, Tuple[Tuple[int, ...], ...]] = {
+    3: (
+        (1, 2, 1),
+        (2, 4, 2),
+        (1, 2, 1),
+    ),  # sum 16
+    5: (
+        (2, 4, 5, 4, 2),
+        (4, 9, 12, 9, 4),
+        (5, 12, 15, 12, 5),
+        (4, 9, 12, 9, 4),
+        (2, 4, 5, 4, 2),
+    ),  # sum 159
+    7: (
+        (1, 6, 15, 20, 15, 6, 1),
+        (6, 36, 90, 120, 90, 36, 6),
+        (15, 90, 225, 300, 225, 90, 15),
+        (20, 120, 300, 400, 300, 120, 20),
+        (15, 90, 225, 300, 225, 90, 15),
+        (6, 36, 90, 120, 90, 36, 6),
+        (1, 6, 15, 20, 15, 6, 1),
+    ),  # sum 4096
+}
+
+
+def gaussian_kernel_sum(kernel_size: int) -> int:
+    return sum(sum(row) for row in GAUSSIAN_TAPS[kernel_size])
+
+
+@dataclasses.dataclass(frozen=True)
+class CannyConfig:
+    """Full pipeline configuration.
+
+    Image specs are locked at engine construction, mirroring the reference's
+    spec-locked init (cannyEdgeH.cu:124-130 rejects frames whose dimensions
+    differ from the constructor's).
+    """
+
+    height: int
+    width: int
+    channels: int = 3  # 3 = BGR (OpenCV byte order, cannyEdgeD.cu:67), 1 = mono
+
+    # --- algorithm parameters -------------------------------------------
+    kernel_size: int = 5  # Gaussian kernel: 3, 5 or 7
+    norm: str = "l2"  # 'l2' (reference, cannyEdgeD.cu:195) or 'l1' extension
+    grad_coeff: int = 4  # GRAD_COEFF (cannyEdgeD.cu:28)
+    low_threshold: int = 10  # default (cannyEdgeH.cu:22); runtime-adjustable
+    high_threshold: int = 40  # default (cannyEdgeH.cu:23); runtime-adjustable
+
+    # --- hysteresis ------------------------------------------------------
+    # Global iteration cap: "safety belt", reference caps host relaunches at
+    # 100 (cannyEdgeH.cu:313). Ours caps while_loop rounds.
+    max_hysteresis_iters: int = 100
+    # Pixel-propagation steps fused per convergence check in the XLA path.
+    hysteresis_inner_steps: int = 16
+
+    # --- execution -------------------------------------------------------
+    backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
+    parity: str = "reference"  # 'reference' | 'opencv'
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU CI)
+
+    def __post_init__(self) -> None:
+        if self.kernel_size not in GAUSSIAN_TAPS:
+            raise ValueError(f"kernel_size must be one of {sorted(GAUSSIAN_TAPS)}")
+        if self.norm not in ("l1", "l2"):
+            raise ValueError("norm must be 'l1' or 'l2'")
+        if self.channels not in (1, 3):
+            raise ValueError("channels must be 1 (mono) or 3 (BGR)")
+        if self.backend not in ("auto", "pallas", "xla"):
+            raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
+        if self.parity not in ("reference", "opencv"):
+            raise ValueError("parity must be 'reference' or 'opencv'")
+        if self.height <= 0 or self.width <= 0:
+            raise ValueError("height/width must be positive")
+
+    # Threshold clamping identical to the reference setters, which force
+    # low <= high (cannyEdgeH.hpp:25-28).
+    def clamp_low(self, low: int) -> int:
+        return max(0, min(int(low), self.high_threshold))
+
+    def clamp_high(self, high: int) -> int:
+        return min(255, max(int(high), self.low_threshold))
+
+    def with_thresholds(self, low: int, high: int) -> "CannyConfig":
+        low = max(0, min(255, int(low)))
+        high = max(0, min(255, int(high)))
+        if low > high:
+            low = high
+        return dataclasses.replace(self, low_threshold=low, high_threshold=high)
+
+    @property
+    def halo(self) -> int:
+        """Total stencil halo from mono to threshold (rows/cols each side)."""
+        return self.kernel_size // 2 + 1 + 1  # gaussian + sobel + nms

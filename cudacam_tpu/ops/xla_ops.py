@@ -1,0 +1,323 @@
+"""XLA (pure jax.numpy) implementation of every Canny stage.
+
+This is the portable compute backend: identical bit-for-bit to the NumPy
+oracle (cudacam_tpu/ops/numpy_oracle.py) on every platform, because every
+*decision* is integer math — see the oracle's module docstring for the
+semantics and the reference citations (src/cvp/cannyEdgeD.cu).
+
+All functions take/return single-frame (H, W[, C]) arrays; batching is done
+with jax.vmap at the pipeline level. Stencil borders are zero-padded, exactly
+like the reference's shared-memory tile fill (cannyEdgeD.cu:91-98).
+
+XLA fuses the pointwise chains here into a handful of HBM passes; the Pallas
+backend (cudacam_tpu/ops/pallas/) fuses further and keeps the hysteresis
+fixed point entirely in VMEM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudacam_tpu.config import GAUSSIAN_TAPS, CannyConfig, gaussian_kernel_sum
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE, CannyStage
+
+
+def rgb2mono(bgr: jnp.ndarray) -> jnp.ndarray:
+    """Fixed-point BGR grayscale (reference cannyEdgeD.cu:53-69)."""
+    if bgr.ndim == 2:
+        return bgr.astype(jnp.uint8)
+    px = bgr.astype(jnp.int32)
+    acc = px[..., 0] * oracle.B_WT + px[..., 1] * oracle.G_WT + px[..., 2] * oracle.R_WT
+    return jnp.minimum(255, acc >> 6).astype(jnp.uint8)
+
+
+def _shifted(padded: jnp.ndarray, dy: int, dx: int, h: int, w: int, r: int) -> jnp.ndarray:
+    """Static slice of a zero-padded plane at offset (dy, dx) from center."""
+    return jax.lax.slice(padded, (r + dy, r + dx), (r + dy + h, r + dx + w))
+
+
+def _conv2d_zero_pad_i32(img_i32: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Exact int32 2D correlation with zero padding, as an unrolled sum of
+    shifted planes (XLA fuses the whole sum into one pass)."""
+    kh, kw = taps.shape
+    r = kh // 2
+    h, w = img_i32.shape
+    padded = jnp.pad(img_i32, r)
+    acc = jnp.zeros((h, w), jnp.int32)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            t = int(taps[dy + r, dx + r])
+            if t == 0:
+                continue
+            term = _shifted(padded, dy, dx, h, w, r)
+            acc = acc + (term if t == 1 else (-term if t == -1 else t * term))
+    return acc
+
+
+def gaussian_blur(mono: jnp.ndarray, kernel_size: int = 5) -> jnp.ndarray:
+    """Integer Gaussian blur, exact floor division by the tap sum
+    (reference cannyEdgeD.cu:72-118; taps cannyEdgeH.cu:372-380)."""
+    taps = np.asarray(GAUSSIAN_TAPS[kernel_size], dtype=np.int64)
+    s = gaussian_kernel_sum(kernel_size)
+    acc = _conv2d_zero_pad_i32(mono.astype(jnp.int32), taps)
+    return (acc // s).astype(jnp.uint8)
+
+
+def sobel_sums(blur: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw integer Sobel responses (reference stencils, cannyEdgeD.cu:158-169),
+    range [-1020, 1020]."""
+    b = blur.astype(jnp.int32)
+    sum_x = _conv2d_zero_pad_i32(b, np.asarray(oracle.SOBEL_X))
+    sum_y = _conv2d_zero_pad_i32(b, np.asarray(oracle.SOBEL_Y))
+    return sum_x, sum_y
+
+
+def sobel_xy(blur: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float Sobel planes (reference /8.0, cannyEdgeD.cu:163,169)."""
+    sum_x, sum_y = sobel_sums(blur)
+    inv8 = jnp.float32(0.125)
+    return sum_x.astype(jnp.float32) * inv8, sum_y.astype(jnp.float32) * inv8
+
+
+def grad_slope(
+    sx: jnp.ndarray, sy: jnp.ndarray, grad_coeff: int = 4, norm: str = "l2"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Float magnitude/direction planes for display (cannyEdgeD.cu:175-198)."""
+    if norm == "l2":
+        grad = jnp.float32(grad_coeff) * jnp.sqrt(sx * sx + sy * sy)
+    else:
+        grad = jnp.float32(grad_coeff) * (jnp.abs(sx) + jnp.abs(sy))
+    slope = jnp.arctan2(sx, sy)
+    return grad.astype(jnp.float32), slope.astype(jnp.float32)
+
+
+def exact_isqrt_i32(m: jnp.ndarray) -> jnp.ndarray:
+    """Exact integer floor-sqrt for int32 values < 2^24 (so the float32 cast
+    is exact), with rounding fix-ups in both directions."""
+    s = jnp.sqrt(m.astype(jnp.float32)).astype(jnp.int32)
+    s = jnp.where(s * s > m, s - 1, s)
+    s = jnp.where((s + 1) * (s + 1) <= m, s + 1, s)
+    return s
+
+
+def _comparable_magnitude(sum_x: jnp.ndarray, sum_y: jnp.ndarray, norm: str) -> jnp.ndarray:
+    if norm == "l2":
+        return sum_x * sum_x + sum_y * sum_y  # <= 2*1020^2, int32-safe
+    return jnp.abs(sum_x) + jnp.abs(sum_y)
+
+
+def nms_magnitude_u8(
+    sum_x: jnp.ndarray, sum_y: jnp.ndarray, grad_coeff: int = 4, norm: str = "l2"
+) -> jnp.ndarray:
+    """Exact uint8 NMS magnitude (see oracle.nms_magnitude_u8)."""
+    if norm == "l2":
+        m = sum_x * sum_x + sum_y * sum_y
+        val = (exact_isqrt_i32(m) * grad_coeff) // 8
+    else:
+        val = (grad_coeff * (jnp.abs(sum_x) + jnp.abs(sum_y))) // 8
+    return jnp.minimum(val, 255).astype(jnp.uint8)
+
+
+def non_max_suppression(
+    sum_x: jnp.ndarray, sum_y: jnp.ndarray, grad_coeff: int = 4, norm: str = "l2"
+) -> jnp.ndarray:
+    """NMS with Q15 sector binning and ties-kept comparisons
+    (reference cannyEdgeD.cu:201-270; see oracle for semantics)."""
+    g = _comparable_magnitude(sum_x, sum_y, norm)
+    h, w = g.shape
+    gp = jnp.pad(g, 1)
+
+    def shift(dy: int, dx: int) -> jnp.ndarray:
+        return jax.lax.slice(gp, (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w))
+
+    # Q15 sector binning (oracle._sector_bins).
+    v = jnp.abs(sum_x) << 15
+    wmag = jnp.abs(sum_y)
+    folded_u = jnp.where(sum_x >= 0, sum_y, -sum_y)
+    bin0 = v < wmag * oracle.TG22
+    bin2 = v >= wmag * oracle.TG67
+
+    # Directional neighbors per sector (cannyEdgeD.cu:245-264).
+    q = jnp.where(
+        bin0,
+        shift(1, 0),
+        jnp.where(
+            bin2,
+            shift(0, 1),
+            jnp.where(folded_u > 0, shift(1, -1), shift(-1, -1)),
+        ),
+    )
+    r = jnp.where(
+        bin0,
+        shift(-1, 0),
+        jnp.where(
+            bin2,
+            shift(0, -1),
+            jnp.where(folded_u > 0, shift(-1, 1), shift(1, 1)),
+        ),
+    )
+    keep = (q <= g) & (r <= g)
+    mag = nms_magnitude_u8(sum_x, sum_y, grad_coeff=grad_coeff, norm=norm)
+    return jnp.where(keep, mag, jnp.uint8(0))
+
+
+def double_threshold(nms: jnp.ndarray, low: jnp.ndarray, high: jnp.ndarray) -> jnp.ndarray:
+    """Strict double threshold (cannyEdgeD.cu:273-293). low/high may be traced
+    scalars, so runtime threshold changes never recompile."""
+    nms_i = nms.astype(jnp.int32)
+    return jnp.where(
+        nms_i > high,
+        jnp.uint8(FINAL_EDGE),
+        jnp.where(nms_i > low, jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
+    )
+
+
+def _dilate8(f: jnp.ndarray) -> jnp.ndarray:
+    """8-neighborhood OR with zero padding (bool plane)."""
+    h, w = f.shape
+    fp = jnp.pad(f, 1)
+
+    def s(dy: int, dx: int) -> jnp.ndarray:
+        return jax.lax.slice(fp, (1 + dy, 1 + dx), (1 + dy + h, 1 + dx + w))
+
+    return (
+        s(-1, -1) | s(-1, 0) | s(-1, 1) | s(0, -1) | s(0, 1) | s(1, -1) | s(1, 0) | s(1, 1)
+    )
+
+
+def hysteresis(
+    thresh: jnp.ndarray,
+    max_iters: int = 100,
+    inner_steps: int = 16,
+    remove_candidates: bool = True,
+    return_iters: bool = False,
+):
+    """On-device edge-tracking hysteresis to the global fixed point.
+
+    Replaces the reference's host relaunch loop (cannyEdgeH.cu:297-338) with a
+    single jitted lax.while_loop: each round applies ``inner_steps`` fused
+    promote-by-dilation steps (candidates 8-adjacent to a FINAL edge become
+    FINAL, cannyEdgeD.cu:342-356), then checks global convergence on-device —
+    no host round-trip per iteration, unlike the reference's per-iteration
+    flag readback (cannyEdgeH.cu:310,322). ``max_iters`` is the safety belt
+    (reference caps at 100 relaunches, cannyEdgeH.cu:313).
+    """
+    final = thresh == FINAL_EDGE
+    cand = thresh == CANDIDATE_EDGE
+
+    def promote(f: jnp.ndarray) -> jnp.ndarray:
+        return f | (cand & _dilate8(f))
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        f, _, it = state
+        nf = f
+        for _ in range(inner_steps):
+            nf = promote(nf)
+        changed = jnp.any(nf != f)
+        return nf, changed, it + 1
+
+    reached, _, iters = jax.lax.while_loop(
+        cond, body, (final, jnp.bool_(True), jnp.int32(0))
+    )
+
+    if remove_candidates:
+        out = jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
+    else:
+        out = jnp.where(reached, jnp.uint8(FINAL_EDGE), thresh)
+    if return_iters:
+        return out, iters
+    return out
+
+
+def float2uchar(x: jnp.ndarray) -> jnp.ndarray:
+    """Display conversion (cannyEdgeD.cu:35-50)."""
+    return jnp.minimum(jnp.abs(x), jnp.float32(255.0)).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Whole-pipeline builders
+# ---------------------------------------------------------------------------
+
+def canny_all_stages(
+    frame: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Run all stages, returning every display/inspection buffer. Mirrors the
+    reference's keep-every-intermediary design (README.md:22) for stage
+    visualisation."""
+    mono = rgb2mono(frame)
+    blur = gaussian_blur(mono, cfg.kernel_size)
+    sum_x, sum_y = sobel_sums(blur)
+    inv8 = jnp.float32(0.125)
+    sx = sum_x.astype(jnp.float32) * inv8
+    sy = sum_y.astype(jnp.float32) * inv8
+    grad, slope = grad_slope(sx, sy, cfg.grad_coeff, cfg.norm)
+    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+    thresh = double_threshold(nms, low, high)
+    hyster = hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
+    return {
+        "mono": mono,
+        "gaussian": blur,
+        "sobel_x": sx,
+        "sobel_y": sy,
+        "grad": grad,
+        "slope": slope,
+        # Exact-integer GRADIENT display == float2uchar(grad) up to float
+        # rounding; see oracle.canny_pipeline.
+        "gradient_display": nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm),
+        "nms": nms,
+        "thresh": thresh,
+        "hyster": hyster,
+    }
+
+
+#: Display buffer key per stage (reference _sendOutputToOpenGL,
+#: cannyEdgeH.cu:173-201; GRADIENT goes through float2uchar at :185).
+STAGE_DISPLAY_KEY: Dict[CannyStage, str] = {
+    CannyStage.MONO: "mono",
+    CannyStage.GAUSSIAN: "gaussian",
+    CannyStage.GRADIENT: "gradient_display",
+    CannyStage.NMS: "nms",
+    CannyStage.THRESH: "thresh",
+    CannyStage.HYSTER: "hyster",
+}
+
+
+def canny_to_stage(
+    frame: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+    final_stage: CannyStage,
+) -> jnp.ndarray:
+    """Cumulative run to ``final_stage``, computing only what that stage
+    needs (reference runs stages 0..k, cannyEdgeH.cu:49-120) and returning
+    its uint8 display buffer."""
+    mono = rgb2mono(frame)
+    if final_stage == CannyStage.MONO:
+        return mono
+    blur = gaussian_blur(mono, cfg.kernel_size)
+    if final_stage == CannyStage.GAUSSIAN:
+        return blur
+    sum_x, sum_y = sobel_sums(blur)
+    if final_stage == CannyStage.GRADIENT:
+        # Exact-integer equivalent of float2uchar(grad) (cannyEdgeH.cu:185).
+        return nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+    if final_stage == CannyStage.NMS:
+        return nms
+    thresh = double_threshold(nms, low, high)
+    if final_stage == CannyStage.THRESH:
+        return thresh
+    return hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
