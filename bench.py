@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Benchmark: full six-stage Canny pipeline latency on a 1080p frame.
+
+Baseline: the reference CUDA app reports ~6 ms/frame for "the entire CUDA
+process" on a GTX 1650 at 1080p (reference README.md:5; BASELINE.md).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <ms/frame>, "unit": "ms", "vs_baseline": <speedup>}
+vs_baseline > 1 means faster than the reference's 6 ms.
+
+Measures device-resident input -> device-resident edge map (the reference's
+6 ms likewise excludes capture; its display also stays on-GPU). Uses a
+deterministic synthetic scene with realistic edge structure so hysteresis
+does real propagation work.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 6.0
+
+
+def make_scene(h: int, w: int, seed: int = 0) -> np.ndarray:
+    """Deterministic 1080p-style BGR scene: smooth background + shapes +
+    texture, so every stage (including hysteresis propagation) does
+    representative work."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        96
+        + 64 * np.sin(2 * np.pi * xx / 397.0)
+        + 48 * np.cos(2 * np.pi * yy / 251.0)
+    )
+    img = np.stack([base, base * 0.9, base * 1.1], axis=-1)
+    # Rectangles and disks with strong borders.
+    for _ in range(24):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = int(rng.integers(16, 120))
+        val = rng.integers(0, 256, size=3)
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        img[mask] = val
+    for _ in range(16):
+        y0, x0 = rng.integers(0, h - 64), rng.integers(0, w - 64)
+        hh, ww = rng.integers(24, 160), rng.integers(24, 160)
+        img[y0 : y0 + hh, x0 : x0 + ww] = rng.integers(0, 256, size=3)
+    # Mild texture.
+    img += rng.normal(0, 2.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from cudacam_tpu import CannyConfig, CannyStage
+    from cudacam_tpu.engine import CannyEngine
+
+    h, w = 1080, 1920
+    platform = jax.devices()[0].platform
+    cfg = CannyConfig(height=h, width=w)
+    engine = CannyEngine(cfg)
+
+    frame = jax.device_put(make_scene(h, w))
+    engine.warmup()
+
+    # Warm measurement loop.
+    for _ in range(5):
+        jax.block_until_ready(engine.process(frame))
+    times = []
+    iters = 50 if platform == "tpu" else 5
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = engine.process(frame)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1e3)
+
+    ms = statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": f"canny_1080p_full_pipeline_latency_{platform}_{engine.backend}",
+                "value": round(ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

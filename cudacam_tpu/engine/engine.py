@@ -1,0 +1,277 @@
+"""CannyEngine — the pipeline orchestrator.
+
+TPU-native analog of the reference's two host layers in one:
+``cvp::cvPipeline`` (the CUDA-free facade, src/cvp/cvPipeline.{hpp,cpp}) and
+``cvp::cuda::CannyEdge`` (the host orchestrator, src/cvp/cannyEdgeH.{hpp,cu}).
+
+Responsibilities mirrored from the reference:
+- spec-locked init: frames must match the construction-time dimensions and
+  channel count (cannyEdgeH.cu:124-130), with input validation on type
+  (cvPipeline.cpp:27-36 accepts 8UC3/8UC1 only);
+- run-to-stage-k cumulative execution (cannyEdgeH.cu:49-120);
+- runtime threshold get/set with low <= high clamping (cannyEdgeH.hpp:25-28);
+- toggleable per-stage profiling into a named-timer table
+  (cannyEdgeH.cu:409-430, default ON there; default OFF here since profiling
+  forces per-stage device synchronisation).
+
+TPU-native differences:
+- thresholds are *traced arguments* of one compiled executable, so slider
+  moves never recompile or relaunch anything;
+- unprofiled runs execute ONE fused XLA/Pallas program per frame instead of
+  nine kernel launches;
+- batched frames (B, H, W, C) are first-class via vmap (BASELINE.json
+  config 4: multi-camera streams).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.ops import xla_ops
+from cudacam_tpu.stages import CANNY_STAGE_NAMES, CannyStage
+from cudacam_tpu.utils.logging import get_logger
+from cudacam_tpu.utils.timer import TimerManager
+
+log = get_logger("engine")
+
+ArrayLike = Union[np.ndarray, jax.Array]
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    # 'auto' will pick pallas-on-TPU once the Pallas kernel backend is wired
+    # into the engine; until then the fused XLA path is the fast path.
+    return "xla"
+
+
+class CannyEngine:
+    """Spec-locked, jit-compiled Canny pipeline engine."""
+
+    def __init__(
+        self,
+        config: CannyConfig,
+        profiling: bool = False,
+        timers: Optional[TimerManager] = None,
+    ) -> None:
+        self._cfg = config
+        self._backend = _resolve_backend(config.backend)
+        self._profiling = profiling
+        self._timers = timers or TimerManager.get()
+        self._low = config.low_threshold
+        self._high = config.high_threshold
+        # One jit cache entry per (final_stage, batched); thresholds traced.
+        self._to_stage_fns: Dict[tuple, Callable] = {}
+        self._all_stages_fns: Dict[bool, Callable] = {}
+        self._stage_step_fns: Optional[Dict[str, Callable]] = None
+        for name in CANNY_STAGE_NAMES.values():
+            self._timers.create_timer(name)
+        log.debug("engine created: %s backend=%s", config, self._backend)
+
+    # -- properties / reference accessors ---------------------------------
+
+    @property
+    def config(self) -> CannyConfig:
+        return self._cfg
+
+    @property
+    def backend(self) -> str:
+        return self._backend
+
+    def get_low_threshold(self) -> int:
+        return self._low
+
+    def get_high_threshold(self) -> int:
+        return self._high
+
+    def set_low_threshold(self, low: int) -> None:
+        """Clamped so low <= high (reference cannyEdgeH.hpp:25-26)."""
+        self._low = max(0, min(int(low), self._high))
+
+    def set_high_threshold(self, high: int) -> None:
+        """Clamped so high >= low (reference cannyEdgeH.hpp:27-28)."""
+        self._high = min(255, max(int(high), self._low))
+
+    def is_profiling_enabled(self) -> bool:
+        return self._profiling
+
+    def set_profiling(self, enabled: bool) -> None:
+        """Toggle per-stage timing (reference cannyEdgeH.hpp:31)."""
+        self._profiling = bool(enabled)
+
+    @property
+    def timers(self) -> TimerManager:
+        return self._timers
+
+    # -- validation --------------------------------------------------------
+
+    def _validate(self, frame: ArrayLike) -> tuple[jnp.ndarray, bool]:
+        """Spec lock + type checks (cvPipeline.cpp:27-36; cannyEdgeH.cu:124-130).
+        Returns (device array, batched?)."""
+        if frame is None or (hasattr(frame, "size") and frame.size == 0):
+            raise ValueError("Cannot process empty frame")
+        arr = jnp.asarray(frame)
+        if arr.dtype != jnp.uint8:
+            raise ValueError(f"Only uint8 frames supported, got {arr.dtype}")
+        c = self._cfg.channels
+        expected = (self._cfg.height, self._cfg.width) + ((c,) if c == 3 else ())
+        if arr.shape == expected:
+            return arr, False
+        if arr.ndim == len(expected) + 1 and arr.shape[1:] == expected:
+            return arr, True
+        raise ValueError(
+            f"Frame specs differ from initialization: got {arr.shape}, "
+            f"expected {expected} or (B,)+{expected}"
+        )
+
+    # -- compiled function caches ------------------------------------------
+
+    def _get_to_stage(self, stage: CannyStage, batched: bool) -> Callable:
+        key = (stage, batched)
+        fn = self._to_stage_fns.get(key)
+        if fn is None:
+            cfg = self._cfg
+            base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
+            if batched:
+                base = jax.vmap(base, in_axes=(0, None, None))
+            fn = jax.jit(base)
+            self._to_stage_fns[key] = fn
+        return fn
+
+    def _get_all_stages(self, batched: bool) -> Callable:
+        fn = self._all_stages_fns.get(batched)
+        if fn is None:
+            cfg = self._cfg
+            base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
+            if batched:
+                base = jax.vmap(base, in_axes=(0, None, None))
+            fn = jax.jit(base)
+            self._all_stages_fns[batched] = fn
+        return fn
+
+    def _get_stage_steps(self) -> Dict[str, Callable]:
+        """Per-stage jitted steps for profiling mode (each synchronised,
+        mirroring the reference's cudaEvent bracketing, cannyEdgeH.cu:409-430)."""
+        if self._stage_step_fns is None:
+            cfg = self._cfg
+            self._stage_step_fns = {
+                "mono": jax.jit(xla_ops.rgb2mono),
+                "gaussian": jax.jit(
+                    functools.partial(xla_ops.gaussian_blur, kernel_size=cfg.kernel_size)
+                ),
+                "sobel": jax.jit(xla_ops.sobel_sums),
+                "nms": jax.jit(
+                    functools.partial(
+                        xla_ops.non_max_suppression,
+                        grad_coeff=cfg.grad_coeff,
+                        norm=cfg.norm,
+                    )
+                ),
+                "thresh": jax.jit(xla_ops.double_threshold),
+                "hyster": jax.jit(
+                    functools.partial(
+                        xla_ops.hysteresis,
+                        max_iters=cfg.max_hysteresis_iters,
+                        inner_steps=cfg.hysteresis_inner_steps,
+                    )
+                ),
+                "gradient_display": jax.jit(
+                    functools.partial(
+                        xla_ops.nms_magnitude_u8,
+                        grad_coeff=cfg.grad_coeff,
+                        norm=cfg.norm,
+                    )
+                ),
+            }
+        return self._stage_step_fns
+
+    # -- execution ----------------------------------------------------------
+
+    def process(
+        self,
+        frame: ArrayLike,
+        final_stage: CannyStage = CannyStage.HYSTER,
+    ) -> jax.Array:
+        """Run stages 0..final_stage, returning that stage's uint8 display
+        buffer on device (the PBO analog stays device-resident)."""
+        arr, batched = self._validate(frame)
+        final_stage = CannyStage(final_stage)
+        lo = jnp.int32(self._low)
+        hi = jnp.int32(self._high)
+        if not self._profiling:
+            return self._get_to_stage(final_stage, batched)(arr, lo, hi)
+        return self._process_profiled(arr, batched, final_stage, lo, hi)
+
+    def _process_profiled(
+        self, arr: jax.Array, batched: bool, final_stage: CannyStage, lo, hi
+    ) -> jax.Array:
+        """Stage-by-stage execution with per-stage device-synchronised timing
+        (the reference's profiling path also syncs per stage,
+        cannyEdgeH.cu:420-429)."""
+        steps = self._get_stage_steps()
+        t = self._timers
+        names = CANNY_STAGE_NAMES
+
+        def timed(stage: CannyStage, fn, *args):
+            with t.time(names[stage]):
+                out = fn(*args)
+                jax.block_until_ready(out)
+            return out
+
+        run = (lambda f: jax.vmap(f)) if batched else (lambda f: f)
+
+        mono = timed(CannyStage.MONO, run(steps["mono"]), arr)
+        if final_stage == CannyStage.MONO:
+            return mono
+        blur = timed(CannyStage.GAUSSIAN, run(steps["gaussian"]), mono)
+        if final_stage == CannyStage.GAUSSIAN:
+            return blur
+        # The reference times sobel+gradSlope together as "3/6" (cannyEdgeH.cu:245-264).
+        with t.time(names[CannyStage.GRADIENT]):
+            sum_x, sum_y = run(steps["sobel"])(blur)
+            jax.block_until_ready((sum_x, sum_y))
+        if final_stage == CannyStage.GRADIENT:
+            return run(steps["gradient_display"])(sum_x, sum_y)
+        nms = timed(
+            CannyStage.NMS,
+            (jax.vmap(steps["nms"]) if batched else steps["nms"]),
+            sum_x,
+            sum_y,
+        )
+        if final_stage == CannyStage.NMS:
+            return nms
+        thr_fn = steps["thresh"]
+        if batched:
+            thr_fn = jax.vmap(thr_fn, in_axes=(0, None, None))
+        thresh = timed(CannyStage.THRESH, thr_fn, nms, lo, hi)
+        if final_stage == CannyStage.THRESH:
+            return thresh
+        hys_fn = steps["hyster"]
+        if batched:
+            hys_fn = jax.vmap(hys_fn)
+        return timed(CannyStage.HYSTER, hys_fn, thresh)
+
+    def process_all(self, frame: ArrayLike) -> Dict[str, jax.Array]:
+        """Run everything, returning all stage buffers (the reference keeps
+        every intermediary for display, README.md:22)."""
+        arr, batched = self._validate(frame)
+        return self._get_all_stages(batched)(
+            arr, jnp.int32(self._low), jnp.int32(self._high)
+        )
+
+    def warmup(self, final_stage: CannyStage = CannyStage.HYSTER, batch: int = 0) -> None:
+        """Compile ahead of the first real frame."""
+        c = self._cfg.channels
+        shape = (self._cfg.height, self._cfg.width) + ((c,) if c == 3 else ())
+        if batch:
+            shape = (batch,) + shape
+        dummy = jnp.zeros(shape, jnp.uint8)
+        jax.block_until_ready(self.process(dummy, final_stage))
+
+    def profiling_table(self) -> str:
+        return self._timers.table()

@@ -1,0 +1,224 @@
+"""Tile-sharded Canny over a device mesh with halo exchange.
+
+This is the multi-chip generalisation of the reference's intra-GPU tiling
+(32x32 shared-memory tiles with 1-2 halo cells, cannyEdgeD.cu:89,140,220,314)
+and of its host-coordinated hysteresis relaunch loop (cannyEdgeH.cu:297-338):
+
+- a mega-frame (or batch of camera frames) is partitioned over a
+  (batch 'b', rows 'y', cols 'x') mesh;
+- each stencil round extends the local tile with halo rows/cols fetched from
+  neighbor shards via ``jax.lax.ppermute`` (ICI neighbor exchange; missing
+  neighbors arrive as zeros, which IS the reference's zero-padding semantics,
+  cannyEdgeD.cu:91-98);
+- the whole mono->threshold chain runs on a once-extended tile (the total
+  stencil halo is kernel_size//2 + 2), so there is ONE halo exchange for all
+  feed-forward stages, not one per stage;
+- hysteresis runs as a global ``lax.while_loop``: each round does
+  ``inner_steps`` of local 8-connected promotion on a halo-extended tile,
+  then reduces a convergence flag with ``psum`` over all mesh axes — the
+  TPU-native replacement for the reference's per-iteration device->host flag
+  readback (cannyEdgeH.cu:310,322).
+
+Correctness note (pollution depth): running the zero-padding single-chip ops
+on a tile extended by the *total* halo H yields exact values in the core,
+because stage k's output at extended-row r is exact for r >= (sum of stage
+halos up to k), which is <= H at the final pre-hysteresis stage.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.ops import xla_ops
+from cudacam_tpu.parallel.mesh import BATCH_AXIS, COL_AXIS, ROW_AXIS
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE, CannyStage
+
+shard_map = jax.shard_map
+
+
+def _exchange_halo(x: jnp.ndarray, h: int, axis: int, axis_name: str, n: int) -> jnp.ndarray:
+    """Extend local tile along ``axis`` with ``h`` rows/cols from both mesh
+    neighbors on ``axis_name``. Boundary shards receive zeros (= the global
+    zero padding of the reference's tile fill)."""
+    if n == 1 or h == 0:
+        # Single shard on this axis: zero-pad directly (global border).
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (h, h)
+        return jnp.pad(x, pad)
+    down = [(i, i + 1) for i in range(n - 1)]  # shard i -> i+1
+    up = [(i + 1, i) for i in range(n - 1)]  # shard i+1 -> i
+
+    def take(start: Optional[int], stop: Optional[int]) -> jnp.ndarray:
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(start, stop)
+        return x[tuple(idx)]
+
+    top = jax.lax.ppermute(take(-h, None), axis_name, down)  # my top halo = upper neighbor's bottom
+    bottom = jax.lax.ppermute(take(None, h), axis_name, up)  # my bottom halo = lower neighbor's top
+    return jnp.concatenate([top, x, bottom], axis=axis)
+
+
+def _trim(x: jnp.ndarray, h: int, axes: tuple[int, ...]) -> jnp.ndarray:
+    idx = [slice(None)] * x.ndim
+    for a in axes:
+        idx[a] = slice(h, x.shape[a] - h)
+    return x[tuple(idx)]
+
+
+def build_sharded_pipeline(
+    cfg: CannyConfig,
+    mesh: Mesh,
+    final_stage: CannyStage = CannyStage.HYSTER,
+    hysteresis_halo: Optional[int] = None,
+) -> Callable:
+    """Return a jitted fn(frame, low, high) running the pipeline sharded over
+    ``mesh``. ``frame`` is (B, H, W[, C]) uint8 with B % mesh('b') == 0,
+    H % mesh('y') == 0, W % mesh('x') == 0.
+
+    ``hysteresis_halo`` rows/cols of edge state are exchanged per convergence
+    round (defaults to cfg.hysteresis_inner_steps so cross-shard propagation
+    keeps pace with local propagation).
+    """
+    final_stage = CannyStage(final_stage)
+    ny = mesh.shape[ROW_AXIS]
+    nx = mesh.shape[COL_AXIS]
+    if cfg.height % ny or cfg.width % nx:
+        raise ValueError(
+            f"frame {cfg.height}x{cfg.width} not divisible by mesh tiles {ny}x{nx}"
+        )
+    h_loc, w_loc = cfg.height // ny, cfg.width // nx
+    halo = cfg.halo  # total feed-forward stencil halo
+    if halo > min(h_loc, w_loc):
+        raise ValueError(
+            f"stencil halo {halo} exceeds local tile {h_loc}x{w_loc}; use fewer shards"
+        )
+    hh = hysteresis_halo if hysteresis_halo is not None else cfg.hysteresis_inner_steps
+    # A shard can only export state it owns: cap the exchange halo at the
+    # local tile size (propagation speed across shards is hh px per round).
+    hh = max(1, min(hh, h_loc, w_loc))
+
+    has_c = cfg.channels == 3
+    frame_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS, None) if has_c else P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
+    out_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
+
+    def extend2d(x: jnp.ndarray, h: int) -> jnp.ndarray:
+        """Halo-extend a (h_loc, w_loc[, C]) tile in rows then cols (the
+        second exchange carries the corner blocks)."""
+        x = _exchange_halo(x, h, 0, ROW_AXIS, ny)
+        return _exchange_halo(x, h, 1, COL_AXIS, nx)
+
+    def _valid_mask(ext_h: int, ext_w: int, h: int) -> jnp.ndarray:
+        """Bool mask of extended-tile positions that lie inside the *global*
+        image. Positions outside it (only at global-border shards) must read
+        as exact zeros to reproduce the single-chip zero-padding semantics
+        (the ops' jnp.pad <=> the reference's tile fill, cannyEdgeD.cu:91-98):
+        computing a stage on the extended tile leaves nonzero junk there
+        otherwise, which the next stencil would consume."""
+        ry = jax.lax.axis_index(ROW_AXIS)
+        rx = jax.lax.axis_index(COL_AXIS)
+        row0 = ry * h_loc - h
+        col0 = rx * w_loc - h
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 1)
+        return (rows >= 0) & (rows < cfg.height) & (cols >= 0) & (cols < cfg.width)
+
+    def local_feed_forward(tile: jnp.ndarray, low, high):
+        """mono -> ... -> final_stage on a halo-extended tile, masking each
+        intermediate outside the global image; returns the trimmed display
+        buffer (or the trimmed thresh map when running to hysteresis)."""
+        ext = extend2d(tile, halo)
+        valid = _valid_mask(ext.shape[0], ext.shape[1], halo)
+        mono = xla_ops.rgb2mono(ext)  # zeros outside stay zero: no mask needed
+        if final_stage == CannyStage.MONO:
+            return _trim(mono, halo, (0, 1))
+        blur = xla_ops.gaussian_blur(mono, cfg.kernel_size)
+        blur = jnp.where(valid, blur, jnp.uint8(0))
+        if final_stage == CannyStage.GAUSSIAN:
+            return _trim(blur, halo, (0, 1))
+        sum_x, sum_y = xla_ops.sobel_sums(blur)
+        sum_x = jnp.where(valid, sum_x, 0)
+        sum_y = jnp.where(valid, sum_y, 0)
+        if final_stage == CannyStage.GRADIENT:
+            out = xla_ops.nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+            return _trim(out, halo, (0, 1))
+        nms = xla_ops.non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+        nms = jnp.where(valid, nms, jnp.uint8(0))
+        if final_stage == CannyStage.NMS:
+            return _trim(nms, halo, (0, 1))
+        thresh = xla_ops.double_threshold(nms, low, high)
+        return _trim(thresh, halo, (0, 1))
+
+    def local_hysteresis(thresh: jnp.ndarray) -> jnp.ndarray:
+        """Sharded fixed point: local promotion + halo exchange + global
+        psum convergence flag (the reference's relaunch loop, distributed)."""
+        final = thresh == FINAL_EDGE
+        cand = thresh == CANDIDATE_EDGE
+        cand_ext = extend2d(cand, hh)  # static: exchanged once
+
+        def promote(f_ext: jnp.ndarray) -> jnp.ndarray:
+            return f_ext | (cand_ext & xla_ops._dilate8(f_ext))
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < cfg.max_hysteresis_iters)
+
+        def body(state):
+            f, _, it = state
+            f_ext = extend2d(f, hh)
+            for _ in range(hh):
+                f_ext = promote(f_ext)
+            nf = _trim(f_ext, hh, (0, 1))
+            local_changed = jnp.any(nf != f)
+            global_changed = (
+                jax.lax.psum(
+                    local_changed.astype(jnp.int32),
+                    (BATCH_AXIS, ROW_AXIS, COL_AXIS),
+                )
+                > 0
+            )
+            return nf, global_changed, it + 1
+
+        reached, _, _ = jax.lax.while_loop(
+            cond, body, (final, jnp.bool_(True), jnp.int32(0))
+        )
+        return jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(frame_spec, P(), P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    def sharded(frame, low, high):
+        def per_frame(tile):
+            out = local_feed_forward(tile, low, high)
+            if final_stage == CannyStage.HYSTER:
+                out = local_hysteresis(out)
+            return out
+
+        return jax.vmap(per_frame)(frame)
+
+    @jax.jit
+    def run(frame: jnp.ndarray, low: jnp.ndarray, high: jnp.ndarray) -> jnp.ndarray:
+        return sharded(frame, low, high)
+
+    return run
+
+
+def shard_frame(frame, mesh: Mesh):
+    """Place a host (B, H, W[, C]) frame batch onto the mesh with the
+    pipeline's input sharding (device_put analog of the reference's single
+    cudaMemcpy2D upload, cannyEdgeH.cu:136)."""
+    spec = (
+        P(BATCH_AXIS, ROW_AXIS, COL_AXIS, None)
+        if frame.ndim == 4
+        else P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
+    )
+    return jax.device_put(frame, NamedSharding(mesh, spec))

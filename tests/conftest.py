@@ -7,8 +7,19 @@ mode on CPU.
 """
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax is imported anywhere. Force CPU: the ambient
+# environment points JAX at the axon TPU tunnel, but the suite is designed to
+# run hermetically on 8 virtual CPU devices (set CUDACAM_TESTS_ON_TPU=1 to
+# opt in to running the TPU-marked tests on real hardware).
+if not os.environ.get("CUDACAM_TESTS_ON_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+if not os.environ.get("CUDACAM_TESTS_ON_TPU"):
+    # Something in this environment re-registers the TPU plugin with priority
+    # regardless of JAX_PLATFORMS; pin the platform list explicitly.
+    jax.config.update("jax_platforms", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,134 @@
+"""Engine layer tests: spec locking, thresholds, profiling, batching."""
+import numpy as np
+import pytest
+
+from cudacam_tpu import CannyConfig, CannyStage
+from cudacam_tpu.engine import CannyEngine
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.utils.timer import TimerManager
+
+from conftest import make_bgr_frame
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return CannyEngine(CannyConfig(height=48, width=64, backend="xla"))
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    return make_bgr_frame(rng, 48, 64)
+
+
+class TestSpecLock:
+    def test_wrong_shape_rejected(self, engine):
+        with pytest.raises(ValueError, match="specs differ"):
+            engine.process(np.zeros((32, 32, 3), np.uint8))
+
+    def test_wrong_dtype_rejected(self, engine):
+        with pytest.raises(ValueError, match="uint8"):
+            engine.process(np.zeros((48, 64, 3), np.float32))
+
+    def test_empty_rejected(self, engine):
+        with pytest.raises(ValueError, match="empty"):
+            engine.process(np.zeros((0,), np.uint8))
+
+    def test_mono_engine_accepts_2d(self):
+        e = CannyEngine(CannyConfig(height=8, width=8, channels=1, backend="xla"))
+        out = e.process(np.zeros((8, 8), np.uint8))
+        assert out.shape == (8, 8)
+
+
+class TestThresholds:
+    def test_defaults(self, engine):
+        assert engine.get_low_threshold() == 10
+        assert engine.get_high_threshold() == 40
+
+    def test_clamping(self):
+        e = CannyEngine(CannyConfig(height=8, width=8, backend="xla"))
+        e.set_low_threshold(90)  # clamped to high (40)
+        assert e.get_low_threshold() == 40
+        e.set_high_threshold(5)  # clamped to low (40)
+        assert e.get_high_threshold() == 40
+        e.set_high_threshold(200)
+        assert e.get_high_threshold() == 200
+
+    def test_threshold_changes_affect_output(self, engine, frame):
+        engine.set_low_threshold(10)
+        engine.set_high_threshold(40)
+        out_default = np.asarray(engine.process(frame, CannyStage.THRESH))
+        engine.set_high_threshold(255)
+        engine.set_low_threshold(255)
+        out_max = np.asarray(engine.process(frame, CannyStage.THRESH))
+        assert out_max.sum() == 0  # nothing exceeds 255 strictly
+        assert out_default.sum() > 0
+        engine.set_low_threshold(10)
+        engine.set_high_threshold(40)
+
+
+class TestCorrectness:
+    @pytest.mark.parametrize("stage", list(CannyStage))
+    def test_matches_oracle(self, engine, frame, stage):
+        from cudacam_tpu.ops import xla_ops
+
+        got = np.asarray(engine.process(frame, stage))
+        exp = oracle.canny_pipeline(frame)[xla_ops.STAGE_DISPLAY_KEY[stage]]
+        np.testing.assert_array_equal(got, exp)
+
+    def test_process_all(self, engine, frame):
+        res = engine.process_all(frame)
+        exp = oracle.canny_pipeline(frame)
+        np.testing.assert_array_equal(np.asarray(res["hyster"]), exp["hyster"])
+        assert set(res) >= {"mono", "gaussian", "grad", "slope", "nms", "thresh", "hyster"}
+
+
+class TestBatching:
+    def test_batched_matches_single(self, engine, frame):
+        batch = np.stack([frame, frame[:, ::-1], 255 - frame])
+        out = np.asarray(engine.process(batch))
+        assert out.shape == (3, 48, 64)
+        for i in range(3):
+            np.testing.assert_array_equal(out[i], np.asarray(engine.process(batch[i])))
+
+
+class TestProfiling:
+    def test_profiled_run_matches_and_times(self, frame):
+        timers = TimerManager()
+        e = CannyEngine(
+            CannyConfig(height=48, width=64, backend="xla"),
+            profiling=True,
+            timers=timers,
+        )
+        out_prof = np.asarray(e.process(frame))
+        e.set_profiling(False)
+        out_fused = np.asarray(e.process(frame))
+        np.testing.assert_array_equal(out_prof, out_fused)
+        # All six stages recorded.
+        recorded = {name for name, _, count in timers.items() if count > 0}
+        assert len(recorded) == 6
+        table = e.profiling_table()
+        assert "TOTAL" in table and "6/6 Hysteresis" in table
+
+    def test_toggle(self, engine):
+        assert not engine.is_profiling_enabled()
+        engine.set_profiling(True)
+        assert engine.is_profiling_enabled()
+        engine.set_profiling(False)
+
+    def test_profiled_batched(self, frame):
+        e = CannyEngine(
+            CannyConfig(height=48, width=64, backend="xla"),
+            profiling=True,
+            timers=TimerManager(),
+        )
+        batch = np.stack([frame, frame])
+        out = np.asarray(e.process(batch))
+        assert out.shape == (2, 48, 64)
+        np.testing.assert_array_equal(out[0], out[1])
+
+
+class TestWarmup:
+    def test_warmup_compiles(self, engine):
+        engine.warmup()
+        engine.warmup(CannyStage.MONO)
