@@ -66,25 +66,33 @@ def main() -> None:
     cfg = CannyConfig(height=h, width=w)
     engine = CannyEngine(cfg)
 
-    frame = jax.device_put(make_scene(h, w))
+    # Distinct device-resident frames, streamed back-to-back — the
+    # reference's own number is per-frame processing time inside a live
+    # streaming loop (README.md:5), display never leaving the GPU. No
+    # device->host transfer happens anywhere in the measured path.
+    n_stream = 16 if platform == "tpu" else 4
+    frames = [
+        jax.device_put(make_scene(h, w, seed=s)) for s in range(n_stream)
+    ]
     engine.warmup()
+    for f in frames:  # warm every input's dispatch path
+        out = engine.process(f)
+    jax.block_until_ready(out)
 
-    # Warm measurement loop.
-    for _ in range(5):
-        jax.block_until_ready(engine.process(frame))
+    passes = 20 if platform == "tpu" else 3
     times = []
-    iters = 50 if platform == "tpu" else 5
-    for _ in range(iters):
+    for _ in range(passes):
         t0 = time.perf_counter()
-        out = engine.process(frame)
+        for f in frames:
+            out = engine.process(f)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3)
+        times.append((time.perf_counter() - t0) * 1e3 / n_stream)
 
     ms = statistics.median(times)
     print(
         json.dumps(
             {
-                "metric": f"canny_1080p_full_pipeline_latency_{platform}_{engine.backend}",
+                "metric": f"canny_1080p_stream_ms_per_frame_{platform}_{engine.backend}",
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 3),

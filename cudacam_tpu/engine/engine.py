@@ -45,9 +45,13 @@ ArrayLike = Union[np.ndarray, jax.Array]
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
-    # 'auto' will pick pallas-on-TPU once the Pallas kernel backend is wired
-    # into the engine; until then the fused XLA path is the fast path.
-    return "xla"
+    # Pallas kernels on real TPU (measured faster than the fused-XLA path);
+    # portable XLA everywhere else (CPU tests, interpret-free).
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover - no devices at all
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
 
 
 class CannyEngine:
@@ -65,6 +69,11 @@ class CannyEngine:
         self._timers = timers or TimerManager.get()
         self._low = config.low_threshold
         self._high = config.high_threshold
+        # Device-resident threshold scalars, cached so the hot loop never
+        # re-uploads them (a per-frame host->device scalar transfer costs
+        # ~0.1 ms over remote links; the reference instead re-passes kernel
+        # args each launch, cannyEdgeH.cu:289-291).
+        self._thresh_dev: Optional[tuple] = None
         # One jit cache entry per (final_stage, batched); thresholds traced.
         self._to_stage_fns: Dict[tuple, Callable] = {}
         self._all_stages_fns: Dict[bool, Callable] = {}
@@ -92,10 +101,21 @@ class CannyEngine:
     def set_low_threshold(self, low: int) -> None:
         """Clamped so low <= high (reference cannyEdgeH.hpp:25-26)."""
         self._low = max(0, min(int(low), self._high))
+        self._thresh_dev = None
 
     def set_high_threshold(self, high: int) -> None:
         """Clamped so high >= low (reference cannyEdgeH.hpp:27-28)."""
         self._high = min(255, max(int(high), self._low))
+        self._thresh_dev = None
+
+    def _thresholds(self) -> tuple:
+        """Cached device scalars for (low, high)."""
+        if self._thresh_dev is None:
+            self._thresh_dev = (
+                jax.device_put(jnp.int32(self._low)),
+                jax.device_put(jnp.int32(self._high)),
+            )
+        return self._thresh_dev
 
     def is_profiling_enabled(self) -> bool:
         return self._profiling
@@ -136,9 +156,26 @@ class CannyEngine:
         fn = self._to_stage_fns.get(key)
         if fn is None:
             cfg = self._cfg
-            base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
-            if batched:
-                base = jax.vmap(base, in_axes=(0, None, None))
+            if self._backend == "pallas":
+                from cudacam_tpu.ops.pallas import canny_to_stage_pallas
+
+                def base(f, lo, hi):
+                    return canny_to_stage_pallas(
+                        f, lo, hi, cfg, stage, interpret=cfg.interpret
+                    )
+
+                if batched:
+                    single = base
+                    # lax.map, not vmap: the Pallas kernels use manual DMA
+                    # grids that don't vectorise; sequential per-frame calls
+                    # inside one compiled program.
+                    base = lambda f, lo, hi: jax.lax.map(
+                        lambda fr: single(fr, lo, hi), f
+                    )
+            else:
+                base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
+                if batched:
+                    base = jax.vmap(base, in_axes=(0, None, None))
             fn = jax.jit(base)
             self._to_stage_fns[key] = fn
         return fn
@@ -201,8 +238,7 @@ class CannyEngine:
         buffer on device (the PBO analog stays device-resident)."""
         arr, batched = self._validate(frame)
         final_stage = CannyStage(final_stage)
-        lo = jnp.int32(self._low)
-        hi = jnp.int32(self._high)
+        lo, hi = self._thresholds()
         if not self._profiling:
             return self._get_to_stage(final_stage, batched)(arr, lo, hi)
         return self._process_profiled(arr, batched, final_stage, lo, hi)
@@ -212,7 +248,9 @@ class CannyEngine:
     ) -> jax.Array:
         """Stage-by-stage execution with per-stage device-synchronised timing
         (the reference's profiling path also syncs per stage,
-        cannyEdgeH.cu:420-429)."""
+        cannyEdgeH.cu:420-429). Always runs the stage-split XLA ops — the
+        Pallas backend fuses gaussian..threshold into one kernel, which has
+        no per-stage boundaries to time."""
         steps = self._get_stage_steps()
         t = self._timers
         names = CANNY_STAGE_NAMES
@@ -260,9 +298,8 @@ class CannyEngine:
         """Run everything, returning all stage buffers (the reference keeps
         every intermediary for display, README.md:22)."""
         arr, batched = self._validate(frame)
-        return self._get_all_stages(batched)(
-            arr, jnp.int32(self._low), jnp.int32(self._high)
-        )
+        lo, hi = self._thresholds()
+        return self._get_all_stages(batched)(arr, lo, hi)
 
     def warmup(self, final_stage: CannyStage = CannyStage.HYSTER, batch: int = 0) -> None:
         """Compile ahead of the first real frame."""

@@ -1,0 +1,53 @@
+"""Whole-pipeline glue for the Pallas backend.
+
+Mirrors xla_ops.canny_to_stage's cumulative run-to-stage-k contract
+(reference dispatch: cannyEdgeH.cu:49-120) on the Pallas kernels:
+
+* MONO is a pointwise fixed-point conversion — XLA already emits a single
+  memory-bound pass for it, so it stays an XLA op feeding the kernel;
+* GAUSSIAN..THRESH is ONE fused Pallas kernel (feedforward.py);
+* HYSTER adds the sequential-sweep hysteresis kernel (hysteresis.py).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.ops import xla_ops
+from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
+from cudacam_tpu.stages import CannyStage
+
+
+def canny_to_stage_pallas(
+    frame: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+    final_stage: CannyStage,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cumulative pipeline to ``final_stage`` on the Pallas backend; returns
+    that stage's (H, W) uint8 display buffer."""
+    final_stage = CannyStage(final_stage)
+    mono = xla_ops.rgb2mono(frame)
+    if final_stage == CannyStage.MONO:
+        return mono
+    ff_stage = (
+        final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
+    )
+    out = feed_forward_to_stage(
+        mono,
+        low,
+        high,
+        kernel_size=cfg.kernel_size,
+        grad_coeff=cfg.grad_coeff,
+        norm=cfg.norm,
+        out_stage=ff_stage,
+        interpret=interpret,
+    )
+    if final_stage == CannyStage.HYSTER:
+        out = hysteresis_pallas(
+            out, max_iters=cfg.max_hysteresis_iters, interpret=interpret
+        )
+    return out

@@ -1,0 +1,346 @@
+"""Fused feed-forward Canny stages as one Pallas TPU kernel.
+
+The reference runs gaussian/sobel/NMS/threshold as four separate CUDA kernels,
+each doing a full HBM round trip through its own shared-memory tile
+(cannyEdgeD.cu:72-293; launch geometry cannyEdgeH.cu:229-295). On TPU the
+whole chain is one kernel: the frame is cut into full-width row slabs, each
+slab (plus its stencil halo) is DMA'd HBM->VMEM once with double buffering,
+every stage runs back-to-back on the VPU without leaving VMEM, and only the
+final stage's uint8 buffer is written back. Per frame that is ONE HBM read of
+the mono plane and ONE HBM write of the output — the memory traffic floor for
+the operator.
+
+Stencil taps are ``pltpu.roll`` shifts (native sublane/lane rotates): every
+array keeps the full slab shape and ONE layout, so Mosaic never inserts
+relayout chains (misaligned value slices and pad/concat idioms each proved
+catastrophically slow or uncompilable). Rolled-in wraparound values only ever
+land inside the slab's padding ring, strictly outside every consumer's
+region. The stencils exploit the taps' symmetry: the 5x5 Gaussian is 4
+sublane rolls + 4 lane rolls (vs 24 naive shifts) by pre-summing symmetric
+row pairs and pre-combining column groups; Sobel is separable (a shared
+vertical/horizontal smooth + one differencing roll pair each).
+
+All arithmetic is the framework's exact integer semantics (see
+cudacam_tpu/ops/numpy_oracle.py): the Pallas output is bit-identical to the
+NumPy oracle and the XLA backend. Notably the Gaussian normalisation
+(floor-divide by the tap sum, 159 for the 5x5 kernel of cannyEdgeH.cu:372-380)
+is a verified magic multiply+shift, because integer division is not a native
+VPU op. Out-of-image positions are forced to zero by 0/1 multiply-masks (the
+reference's zero-padded tile fill, cannyEdgeD.cu:91-98) — multiplies, not
+selects, so no cross-bitwidth i1 mask relayouts are needed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cudacam_tpu.config import GAUSSIAN_TAPS, gaussian_kernel_sum
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE, CannyStage
+
+#: Slab row padding (cells top and bottom): >= the largest stencil chain halo
+#: (7x7 gaussian (3) + sobel (1) + NMS (1) = 5) and a multiple of the 8-row
+#: uint8 DMA granule.
+PAD_R = 8
+#: Left column padding: >= the halo and a multiple of the 128-lane granule,
+#: so the output emit slice starts lane-aligned.
+PAD_C = 128
+
+
+def _slab_w(width: int) -> int:
+    """Total slab width: >= width + PAD_C + max halo, 128-lane aligned."""
+    return ((width + PAD_C + 8 + 127) // 128) * 128
+
+
+def _total_halo(kernel_size: int) -> int:
+    """Cumulative stencil halo of the fused chain for this kernel size."""
+    return kernel_size // 2 + 1 + 1
+
+
+#: floor(x / s) as exact multiply+shift for x in [0, 255*s], verified
+#: exhaustively for every supported tap sum (tests/test_pallas_ops.py).
+_MAGIC_DIV: dict[int, Tuple[int, int]] = {
+    16: (1, 4),      # 3x3 taps: power of two -> pure shift
+    159: (52759, 23),  # 5x5 canonical Canny taps (cannyEdgeH.cu:372-380)
+    4096: (1, 12),   # 7x7 binomial taps
+}
+
+
+def _pick_block_h(h: int, preferred: int = 64, max_bh: int = 256) -> int:
+    """Choose a slab height: a multiple of 8 (the uint8 row-DMA granule)
+    dividing ``h`` near ``preferred`` if one exists (no padded rows), else
+    ``preferred`` (rows padded up)."""
+    if h <= preferred:
+        return ((h + 7) // 8) * 8
+    best = None
+    for bh in range(8, max_bh + 1, 8):
+        if h % bh == 0:
+            if best is None or abs(bh - preferred) < abs(best - preferred):
+                best = bh
+    return best if best is not None else preferred
+
+
+def _sub(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[r, c] = x[r + k, c] (rows wrap into the padding ring)."""
+    return pltpu.roll(x, (-k) % x.shape[0], 0) if k else x
+
+
+def _lan(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[r, c] = x[r, c + k] (cols wrap into the padding ring)."""
+    return pltpu.roll(x, (-k) % x.shape[1], 1) if k else x
+
+
+def _gaussian_rolled(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """Un-normalised integer Gaussian: sum_t T[dy,dx] * x[r+dy, c+dx].
+
+    Exploits the taps' twofold symmetry (T[dy,:] == T[-dy,:] and
+    T[:,dx] == T[:,-dx], true of every supported kernel): symmetric row pairs
+    are pre-summed (r sublane rolls + r adds), each column group is combined
+    once (r+1 fused multiply-adds), and only 2r lane rolls remain.
+    """
+    T = np.asarray(GAUSSIAN_TAPS[kernel_size], dtype=np.int64)
+    r = kernel_size // 2
+    assert (T == T[::-1]).all() and (T == T[:, ::-1]).all()
+    # Row-symmetric partial sums: S[0] = x, S[k] = x[r-k] + x[r+k].
+    S = [x]
+    for k in range(1, r + 1):
+        S.append(_sub(x, -k) + _sub(x, k))
+    # Column groups: P[c] applies column r+c's weights over the row sums.
+    P = []
+    for c in range(0, r + 1):
+        acc = None
+        for k in range(0, r + 1):
+            t = int(T[r + k, r + c])
+            term = S[k] * t if t != 1 else S[k]
+            acc = term if acc is None else acc + term
+        P.append(acc)
+    out = P[0]
+    for c in range(1, r + 1):
+        out = out + _lan(P[c], -c) + _lan(P[c], c)
+    return out
+
+
+def _valid_mask_i32(i, shape: Tuple[int, int], bh: int, height: int,
+                    width: int) -> jnp.ndarray:
+    """0/1 int32 mask of slab positions inside the global image. Slab [0,0]
+    sits at global pixel (i*bh - PAD_R, -PAD_C)."""
+    rows = i * bh - PAD_R + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = -PAD_C + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ok = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
+    return ok.astype(jnp.int32)
+
+
+def _kernel_body(
+    lo_ref,
+    hi_ref,
+    mono_hbm,
+    out_ref,
+    slab,
+    sems,
+    *,
+    bh: int,
+    height: int,
+    width: int,
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    out_stage: CannyStage,
+    n_blocks: int,
+):
+    """Grid step i: consume slab i (prefetched), prefetch slab i+1, run the
+    fused stage chain in VMEM, emit output block i."""
+    slab_h = bh + 2 * PAD_R
+    i = pl.program_id(0)
+
+    def start_fetch(slot, block_idx):
+        # Input rows are pre-padded by PAD_R top/bottom, so the slab window
+        # [block*bh, block*bh + slab_h) is always in range.
+        return pltpu.make_async_copy(
+            mono_hbm.at[pl.ds(block_idx * bh, slab_h), :],
+            slab.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        start_fetch(0, 0).start()
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        start_fetch((i + 1) % 2, i + 1).start()
+
+    start_fetch(i % 2, i).wait()
+
+    # Whole chain in one slab-shaped i32 coordinate frame; [0,0] sits at
+    # global pixel (i*bh - PAD_R, -PAD_C).
+    mono = slab[i % 2].astype(jnp.int32)
+    valid = _valid_mask_i32(i, mono.shape, bh, height, width)
+
+    def emit(x_i32: jnp.ndarray) -> None:
+        out_ref[:, :] = x_i32[
+            PAD_R : PAD_R + bh, PAD_C : PAD_C + width
+        ].astype(jnp.uint8)
+
+    # --- 2/6 Gaussian (cannyEdgeD.cu:72-118), exact floor-div by tap sum ---
+    ksum = gaussian_kernel_sum(kernel_size)
+    magic, shift = _MAGIC_DIV[ksum]
+    acc = _gaussian_rolled(mono, kernel_size)
+    blur = (acc * magic) >> shift if magic != 1 else acc >> shift
+    blur = blur * valid  # zero outside the image (0/1 multiply-mask)
+
+    if out_stage == CannyStage.GAUSSIAN:
+        emit(blur)
+        return
+
+    # --- 3/6 Sobel (cannyEdgeD.cu:121-172), separable integer stencils -----
+    # X = [1,2,1]^T x [-1,0,1]; Y = [1,2,1] smoothing x top-minus-bottom.
+    vsm = _sub(blur, -1) + 2 * blur + _sub(blur, 1)
+    hsm = _lan(blur, -1) + 2 * blur + _lan(blur, 1)
+    sum_x = (_lan(vsm, 1) - _lan(vsm, -1)) * valid
+    sum_y = (_sub(hsm, -1) - _sub(hsm, 1)) * valid
+
+    # Exact uint8 magnitude: isqrt via f32 sqrt + integer fixup (values
+    # < 2^24 so the float path is exact; see oracle.nms_magnitude_u8).
+    def magnitude_i32() -> jnp.ndarray:
+        if norm == "l2":
+            m = sum_x * sum_x + sum_y * sum_y
+            s = jnp.sqrt(m.astype(jnp.float32)).astype(jnp.int32)
+            s = jnp.where(s * s > m, s - 1, s)
+            s = jnp.where((s + 1) * (s + 1) <= m, s + 1, s)
+            val = (s * grad_coeff) >> 3
+        else:
+            val = (grad_coeff * (jnp.abs(sum_x) + jnp.abs(sum_y))) >> 3
+        return jnp.minimum(val, 255)
+
+    if out_stage == CannyStage.GRADIENT:
+        emit(magnitude_i32())
+        return
+
+    # --- 4/6 NMS (cannyEdgeD.cu:201-270): Q15 sector bins, ties kept -------
+    if norm == "l2":
+        g = sum_x * sum_x + sum_y * sum_y
+    else:
+        g = jnp.abs(sum_x) + jnp.abs(sum_y)
+
+    gu, gd = _sub(g, -1), _sub(g, 1)
+    gl, gr_ = _lan(g, -1), _lan(g, 1)
+    gul, gur = _lan(gu, -1), _lan(gu, 1)
+    gdl, gdr = _lan(gd, -1), _lan(gd, 1)
+
+    v = jnp.abs(sum_x) << 15
+    wmag = jnp.abs(sum_y)
+    folded_u = jnp.where(sum_x >= 0, sum_y, -sum_y)
+    bin0 = v < wmag * oracle.TG22
+    bin2 = v >= wmag * oracle.TG67
+
+    q = jnp.where(
+        bin0, gd, jnp.where(bin2, gr_, jnp.where(folded_u > 0, gdl, gul))
+    )
+    r = jnp.where(
+        bin0, gu, jnp.where(bin2, gl, jnp.where(folded_u > 0, gur, gdr))
+    )
+    keep = ((q <= g) & (r <= g)).astype(jnp.int32)
+    nms = keep * magnitude_i32()
+
+    if out_stage == CannyStage.NMS:
+        emit(nms)
+        return
+
+    # --- 5/6 double threshold (cannyEdgeD.cu:273-293), strict inequalities -
+    lo = lo_ref[0]
+    hi = hi_ref[0]
+    out = jnp.where(
+        nms > hi,
+        jnp.int32(FINAL_EDGE),
+        jnp.where(nms > lo, jnp.int32(CANDIDATE_EDGE), jnp.int32(NO_EDGE)),
+    )
+    emit(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size",
+        "grad_coeff",
+        "norm",
+        "out_stage",
+        "interpret",
+        "block_h",
+    ),
+)
+def feed_forward_to_stage(
+    mono: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    out_stage: CannyStage = CannyStage.THRESH,
+    interpret: bool = False,
+    block_h: Optional[int] = None,
+) -> jnp.ndarray:
+    """Run gaussian -> ... -> ``out_stage`` fused in one Pallas kernel.
+
+    ``mono`` is the (H, W) uint8 gray plane; returns that stage's (H, W)
+    uint8 display buffer. ``out_stage`` must be GAUSSIAN..THRESH (MONO is a
+    pointwise XLA op; HYSTER = THRESH + hysteresis_pallas).
+    """
+    out_stage = CannyStage(out_stage)
+    if out_stage in (CannyStage.MONO, CannyStage.HYSTER):
+        raise ValueError("out_stage must be GAUSSIAN, GRADIENT, NMS or THRESH")
+    h, w = mono.shape
+    bh = block_h or _pick_block_h(h)
+    n_blocks = pl.cdiv(h, bh)
+    hp = n_blocks * bh
+
+    # One cheap XLA pass: pad rows by the slab padding (and up to the slab
+    # grid), cols to the 128-lane-aligned slab width, so every slab DMA
+    # window is in-bounds and alignment-legal.
+    sw = _slab_w(w)
+    mono_p = jnp.pad(mono, ((PAD_R, PAD_R + (hp - h)), (PAD_C, sw - w - PAD_C)))
+
+    kern = functools.partial(
+        _kernel_body,
+        bh=bh,
+        height=h,
+        width=w,
+        kernel_size=kernel_size,
+        grad_coeff=grad_coeff,
+        norm=norm,
+        out_stage=out_stage,
+        n_blocks=n_blocks,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # low, high thresholds
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (bh, w), lambda i, lo, hi: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2 * PAD_R, sw), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.uint8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(low, jnp.int32).reshape(1),
+        jnp.asarray(high, jnp.int32).reshape(1),
+        mono_p,
+    )
+    return out[:h] if hp != h else out

@@ -1,0 +1,181 @@
+"""Tests for the Pallas TPU kernel backend.
+
+Two tiers:
+
+* pure-Python property tests (always run): the exact magic-multiply division
+  constants, slab geometry helpers, and the tap-symmetry precondition of the
+  rolled Gaussian decomposition;
+* on-hardware bit-exactness tests vs the NumPy oracle (run in a subprocess so
+  the suite's forced-CPU jax config doesn't leak in; skipped when no TPU is
+  reachable). Interpret mode is not used — it takes minutes per kernel at
+  any useful size.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cudacam_tpu.config import GAUSSIAN_TAPS, gaussian_kernel_sum
+from cudacam_tpu.ops.pallas.feedforward import (
+    _MAGIC_DIV,
+    _pick_block_h,
+    _slab_w,
+    PAD_C,
+    PAD_R,
+)
+
+
+class TestMagicDivision:
+    """floor(x/s) == (x*M) >> k must hold exhaustively on the full range of
+    un-normalised Gaussian sums, with the product fitting int32."""
+
+    @pytest.mark.parametrize("ksize", sorted(GAUSSIAN_TAPS))
+    def test_exact_over_full_range(self, ksize):
+        s = gaussian_kernel_sum(ksize)
+        magic, shift = _MAGIC_DIV[s]
+        xs = np.arange(0, 255 * s + 1, dtype=np.int64)
+        assert ((xs * magic) >> shift == xs // s).all()
+        assert int(xs[-1]) * magic < 2**31
+
+    def test_every_kernel_size_covered(self):
+        for ksize in GAUSSIAN_TAPS:
+            assert gaussian_kernel_sum(ksize) in _MAGIC_DIV
+
+
+class TestSlabGeometry:
+    @pytest.mark.parametrize("h", [8, 64, 480, 720, 1080, 2160, 1079])
+    def test_block_h_divides_or_pads(self, h):
+        bh = _pick_block_h(h)
+        assert bh % 8 == 0
+        assert bh >= 8
+
+    @pytest.mark.parametrize("w", [64, 211, 640, 1280, 1920, 3840])
+    def test_slab_w_alignment(self, w):
+        sw = _slab_w(w)
+        assert sw % 128 == 0
+        assert sw >= w + PAD_C + 8  # halo room on the right
+
+    def test_pads_cover_max_halo(self):
+        # 7x7 gaussian (3) + sobel (1) + NMS (1) = 5 cells each side.
+        assert PAD_R >= 5 and PAD_C >= 5
+
+
+class TestTapSymmetry:
+    """The rolled Gaussian exploits twofold symmetry of the taps; guard the
+    precondition for every supported kernel."""
+
+    @pytest.mark.parametrize("ksize", sorted(GAUSSIAN_TAPS))
+    def test_taps_symmetric(self, ksize):
+        T = np.asarray(GAUSSIAN_TAPS[ksize])
+        assert (T == T[::-1]).all()
+        assert (T == T[:, ::-1]).all()
+
+
+_TPU_CHECK_SCRIPT = r"""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+if jax.devices()[0].platform != "tpu":
+    print("NO_TPU")
+    sys.exit(0)
+
+from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.ops.pallas import canny_to_stage_pallas, hysteresis_pallas
+from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+from cudacam_tpu.stages import CannyStage
+
+rng = np.random.default_rng(7)
+failures = []
+
+# Feed-forward: all four stages at one awkward shape (reference 5x5/L2),
+# plus one GAUSSIAN check per alternate kernel size and one L1 GRADIENT —
+# each distinct (shape, ks, norm, stage) costs a Mosaic compile, so the
+# matrix is kept lean.
+h, w = 97, 211
+mono = rng.integers(0, 256, (h, w), dtype=np.uint8)
+blur = oracle.gaussian_blur(mono, 5)
+sx, sy = oracle.sobel_sums(blur)
+cases = [
+    (5, "l2", CannyStage.GAUSSIAN, blur),
+    (5, "l2", CannyStage.GRADIENT, oracle.nms_magnitude_u8(sx, sy, 4, "l2")),
+    (5, "l2", CannyStage.NMS, oracle.non_max_suppression(sx, sy, 4, "l2")),
+    (5, "l2", CannyStage.THRESH,
+     oracle.double_threshold(oracle.non_max_suppression(sx, sy, 4, "l2"), 10, 40)),
+    (3, "l2", CannyStage.GAUSSIAN, oracle.gaussian_blur(mono, 3)),
+    (7, "l2", CannyStage.GAUSSIAN, oracle.gaussian_blur(mono, 7)),
+]
+b7 = oracle.gaussian_blur(mono, 5)
+sx1, sy1 = oracle.sobel_sums(b7)
+cases.append((5, "l1", CannyStage.NMS, oracle.non_max_suppression(sx1, sy1, 4, "l1")))
+for ks, norm, stage, ref in cases:
+    out = np.asarray(
+        feed_forward_to_stage(
+            jnp.asarray(mono), jnp.int32(10), jnp.int32(40),
+            kernel_size=ks, norm=norm, out_stage=stage,
+        )
+    )
+    if not np.array_equal(out, ref):
+        failures.append(f"ff {stage.name} ks={ks} norm={norm} "
+                        f"n={(out != ref).sum()}")
+
+# Hysteresis: dense random candidate field (worst-case propagation) and a
+# border-hugging snake seeded from one pixel.
+t = rng.choice([0, 128, 255], size=(200, 264), p=[0.3, 0.6, 0.1]).astype(np.uint8)
+o = np.asarray(hysteresis_pallas(jnp.asarray(t)))
+if not np.array_equal(o, oracle.hysteresis(t)):
+    failures.append("hysteresis random-map")
+
+# Border-hugging snake seeded from one pixel (same shape as above: reuses
+# the compiled sweeps).
+t2 = np.zeros((200, 264), np.uint8)
+t2[64, 1:] = 128; t2[1:, 263] = 128; t2[0, :] = 128; t2[:, 0] = 128; t2[199, :] = 128
+t2[64, 0] = 255
+o2 = np.asarray(hysteresis_pallas(jnp.asarray(t2)))
+if not np.array_equal(o2, oracle.hysteresis(t2)):
+    failures.append("hysteresis snake")
+
+# Whole pipeline glue vs whole oracle.
+frame = rng.integers(0, 256, (96, 160, 3), dtype=np.uint8)
+cfg = CannyConfig(height=96, width=160)
+ref = oracle.canny_pipeline(frame, 10, 40)["hyster"]
+out = np.asarray(
+    canny_to_stage_pallas(
+        jnp.asarray(frame), jnp.int32(10), jnp.int32(40), cfg, CannyStage.HYSTER
+    )
+)
+if not np.array_equal(out, ref):
+    failures.append(f"pipeline hyster n={(out != ref).sum()}")
+
+if failures:
+    print("FAIL:" + ";".join(failures))
+    sys.exit(1)
+print("PASS")
+"""
+
+
+@pytest.mark.slow
+def test_pallas_kernels_bit_exact_on_tpu():
+    """Bit-exactness of every Pallas kernel vs the oracle, on real TPU."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the TPU plugin win in the child
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_CHECK_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = proc.stdout.strip().splitlines()
+    if out and out[-1] == "NO_TPU":
+        pytest.skip("no TPU reachable")
+    assert proc.returncode == 0 and out and out[-1] == "PASS", (
+        proc.stdout + "\n" + proc.stderr[-2000:]
+    )
