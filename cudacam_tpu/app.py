@@ -1,0 +1,194 @@
+"""CannyApp — the headless streaming application.
+
+TPU-native analog of ``App::ImguiApp`` (reference src/imgui/imguiApp.{hpp,cpp}):
+owns the frame source, the pipeline engine, the device-resident output ring
+(the PBO analog) and the FPS meter, and drives the per-frame loop
+(ImguiApp::run, imguiApp.cpp:496-525). The reference's UI controls map to API
+methods usable from the CLI or any embedding:
+
+* stage combo box (imguiApp.cpp:312-324)        -> ``set_stage`` / ``cycle_stage``
+  (any-key stage cycling, imguiApp.cpp:180-194)
+* threshold sliders (imguiApp.cpp:326-339)      -> ``set_thresholds``
+* pause/start button (imguiApp.cpp:291-295)     -> ``pause`` / ``resume``
+* DELETE toggles the CUDA pipeline (:183-186)   -> ``toggle_pipeline``
+* profiling checkbox + table (:345-386)         -> ``set_profiling`` /
+  ``profiling_table``
+* FPS meter (:267-283)                          -> ``fps``
+
+The display path is headless-first: outputs stay on device in the ring;
+``preview`` / ``save_frame`` / recording do the only host readbacks.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, List, Optional
+
+import jax
+import numpy as np
+
+from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.engine import CannyEngine
+from cudacam_tpu.io import DeviceRingBuffer, FpsMeter, FrameSource
+from cudacam_tpu.io.preview import ascii_preview, save_png
+from cudacam_tpu.stages import CANNY_STAGE_NAMES, CannyStage
+from cudacam_tpu.utils.logging import get_logger
+
+log = get_logger("app")
+
+
+class CannyApp:
+    def __init__(
+        self,
+        source: FrameSource,
+        config: Optional[CannyConfig] = None,
+        final_stage: CannyStage = CannyStage.HYSTER,
+        ring_capacity: int = 8,
+        profiling: bool = False,
+    ) -> None:
+        self._source = source
+        source.start()
+        h, w, c = source.spec
+        if config is None:
+            config = CannyConfig(height=h, width=w, channels=c)
+        elif (config.height, config.width, config.channels) != (h, w, c):
+            raise ValueError(
+                f"config spec {config.height}x{config.width}x{config.channels} "
+                f"!= source spec {h}x{w}x{c}"
+            )
+        self._cfg = config
+        self._engine = CannyEngine(config, profiling=profiling)
+        self._ring = DeviceRingBuffer(ring_capacity)
+        self._fps = FpsMeter()
+        self._stage = CannyStage(final_stage)
+        self._paused = False
+        self._pipeline_enabled = True  # DELETE-key analog (imguiApp.cpp:183)
+        self._last_input: Optional[np.ndarray] = None
+
+    # -- controls ----------------------------------------------------------
+
+    @property
+    def engine(self) -> CannyEngine:
+        return self._engine
+
+    @property
+    def ring(self) -> DeviceRingBuffer:
+        return self._ring
+
+    @property
+    def stage(self) -> CannyStage:
+        return self._stage
+
+    def set_stage(self, stage: CannyStage) -> None:
+        self._stage = CannyStage(stage)
+        log.info("stage -> %s", CANNY_STAGE_NAMES[self._stage])
+
+    def cycle_stage(self) -> CannyStage:
+        """Advance to the next stage, wrapping (imguiApp.cpp:188-193)."""
+        self._stage = CannyStage((self._stage + 1) % len(CannyStage))
+        return self._stage
+
+    def set_thresholds(self, low: Optional[int] = None, high: Optional[int] = None) -> None:
+        if low is not None:
+            self._engine.set_low_threshold(low)
+        if high is not None:
+            self._engine.set_high_threshold(high)
+
+    def pause(self) -> None:
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    def toggle_pipeline(self) -> bool:
+        """Enable/disable processing; when off, raw frames pass through
+        (the reference's DELETE key, imguiApp.cpp:183-186)."""
+        self._pipeline_enabled = not self._pipeline_enabled
+        return self._pipeline_enabled
+
+    def set_profiling(self, enabled: bool) -> None:
+        self._engine.set_profiling(enabled)
+
+    def profiling_table(self) -> str:
+        return self._engine.profiling_table()
+
+    @property
+    def fps(self) -> float:
+        return self._fps.fps
+
+    def warmup(self) -> None:
+        """Compile the current stage's pipeline ahead of the first frame."""
+        if self._pipeline_enabled:
+            self._engine.warmup(self._stage)
+
+    # -- per-frame loop ----------------------------------------------------
+
+    def step(self) -> Optional[object]:
+        """One iteration of the run loop (ImguiApp::run body,
+        imguiApp.cpp:502-521): read (unless paused), process (unless
+        disabled), retain output on device, tick the meter. Returns the
+        device output (or the raw frame when the pipeline is off), or None
+        when paused with no frame yet."""
+        if not self._paused or self._last_input is None:
+            self._last_input = self._source.read()
+        frame = self._last_input
+        if self._pipeline_enabled:
+            out = self._engine.process(frame, self._stage)
+        else:
+            out = jax.device_put(frame)
+        self._ring.push(out)
+        self._fps.tick()
+        return out
+
+    def run(
+        self,
+        n_frames: Optional[int] = None,
+        on_frame: Optional[Callable[[int, object], None]] = None,
+    ) -> int:
+        """Drive the loop for ``n_frames`` (or until the source ends).
+        Returns the number of frames processed."""
+        done = 0
+        try:
+            while n_frames is None or done < n_frames:
+                out = self.step()
+                if on_frame is not None:
+                    on_frame(done, out)
+                done += 1
+        except EOFError:
+            log.info("source ended after %d frames", done)
+        return done
+
+    # -- readback / export (the only host transfers) -----------------------
+
+    def preview(self, width: int = 96, color: bool = True) -> str:
+        """Terminal rendering of the newest output."""
+        f = self._ring.latest_np()
+        return "" if f is None else ascii_preview(f, width=width, color=color)
+
+    def save_frame(self, path: str) -> Optional[str]:
+        f = self._ring.latest_np()
+        return None if f is None else save_png(path, f)
+
+    def record(self, n_frames: int, path: str) -> str:
+        """Process ``n_frames`` and save outputs as one (N, H, W) .npy."""
+        outs: List[np.ndarray] = []
+        self.run(n_frames, on_frame=lambda i, o: outs.append(np.asarray(o)))
+        arr = np.stack(outs)
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        np.save(path, arr)
+        return path
+
+    def close(self) -> None:
+        self._source.stop()
+
+    def __enter__(self) -> "CannyApp":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

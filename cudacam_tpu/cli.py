@@ -1,0 +1,198 @@
+"""Command-line interface.
+
+The reference shipped docopt and linked it but never wired it up —
+``main(int, const char**)`` ignores argv entirely (reference src/main.cpp:4,
+11; src/CMakeLists.txt:17). This is that CLI done properly, exposing every
+runtime control the reference kept in UI state (stage, thresholds,
+profiling) plus the framework's extensions (kernel size, norm, backend,
+sources, recording, parity reporting).
+
+Usage:
+    python -m cudacam_tpu run --source synthetic --frames 30 --stage hyster
+    python -m cudacam_tpu run --source video:clip.mp4 --preview ascii
+    python -m cudacam_tpu parity --frames 5
+    python -m cudacam_tpu info
+    python -m cudacam_tpu bench
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--stage", default="hyster",
+                   choices=[s.name.lower() for s in _stages()],
+                   help="final pipeline stage (cumulative run-to-stage-k)")
+    p.add_argument("--low", type=int, default=10, help="low threshold (0-255)")
+    p.add_argument("--high", type=int, default=40, help="high threshold (0-255)")
+    p.add_argument("--kernel-size", type=int, default=5, choices=(3, 5, 7))
+    p.add_argument("--norm", default="l2", choices=("l2", "l1"))
+    p.add_argument("--backend", default="auto", choices=("auto", "pallas", "xla"))
+
+
+def _stages():
+    from cudacam_tpu.stages import CannyStage
+
+    return CannyStage
+
+
+def _parse_stage(name: str):
+    return _stages()[name.upper()]
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from cudacam_tpu.app import CannyApp
+    from cudacam_tpu.config import CannyConfig
+    from cudacam_tpu.io import open_source
+
+    src_kw = {}
+    if args.source.startswith("synthetic") and args.frames:
+        src_kw["n_frames"] = args.frames
+    source = open_source(args.source, **src_kw)
+    source.start()
+    h, w, c = source.spec
+    cfg = CannyConfig(
+        height=h, width=w, channels=c,
+        kernel_size=args.kernel_size, norm=args.norm, backend=args.backend,
+        low_threshold=args.low, high_threshold=args.high,
+    )
+    with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),
+                  profiling=args.profile) as app:
+        def on_frame(i: int, out) -> None:
+            if args.preview != "none" and (i + 1) % args.preview_every == 0:
+                print(app.preview(width=args.preview_width,
+                                  color=args.preview == "ansi"))
+                print(f"frame {i + 1}  stage={app.stage.name}  "
+                      f"fps={app.fps:.1f}")
+
+        app.warmup()  # compile outside the timed loop
+        t0 = time.perf_counter()
+        if args.record:
+            app.record(args.frames or 30, args.record)
+            n = args.frames or 30
+        else:
+            n = app.run(args.frames, on_frame=on_frame)
+            import jax
+
+            out = app.ring.latest()
+            if out is not None:
+                jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if args.save:
+            app.save_frame(args.save)
+            print(f"saved {args.save}")
+        if args.profile:
+            print(app.profiling_table())
+        print(f"{n} frames in {dt:.3f}s "
+              f"({1e3 * dt / max(1, n):.3f} ms/frame, {n / dt:.1f} fps) "
+              f"backend={app.engine.backend} stage={app.stage.name}")
+    return 0
+
+
+def cmd_info(args: argparse.Namespace) -> int:
+    import jax
+
+    from cudacam_tpu import __version__
+    from cudacam_tpu.config import GAUSSIAN_TAPS
+
+    devs = jax.devices()
+    info = {
+        "version": __version__,
+        "jax": jax.__version__,
+        "platform": devs[0].platform,
+        "devices": [str(d) for d in devs],
+        "backends": ["pallas (TPU)", "xla (portable)"],
+        "kernel_sizes": sorted(GAUSSIAN_TAPS),
+        "default_thresholds": [10, 40],
+        "stages": [s.name for s in _stages()],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "bench.py")
+    spec = importlib.util.spec_from_file_location("bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+def cmd_parity(args: argparse.Namespace) -> int:
+    """Structural parity report vs cv2.Canny (the reference's own manual
+    correctness check, README.md:16, done as a measured tool)."""
+    from cudacam_tpu.parity import parity_report
+
+    rep = parity_report(
+        n_frames=args.frames,
+        height=args.height,
+        width=args.width,
+        low=args.low,
+        high=args.high,
+        source_spec=args.source,
+    )
+    print(json.dumps(rep, indent=2))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cudacam_tpu",
+        description="TPU-native real-time Canny edge detection framework",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="stream frames through the pipeline")
+    pr.add_argument("--source", default="synthetic:720x1280",
+                    help="synthetic[:HxW] | webcam[:IDX] | video:PATH | seq:PATH")
+    pr.add_argument("--frames", type=int, default=30,
+                    help="frame count (0 = until source ends)")
+    _add_pipeline_args(pr)
+    pr.add_argument("--profile", action="store_true",
+                    help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--preview", default="none", choices=("none", "ascii", "ansi"))
+    pr.add_argument("--preview-every", type=int, default=10)
+    pr.add_argument("--preview-width", type=int, default=96)
+    pr.add_argument("--save", default=None, help="save last output as PNG")
+    pr.add_argument("--record", default=None, help="record outputs to .npy")
+    pr.set_defaults(fn=cmd_run)
+
+    pi = sub.add_parser("info", help="devices / backends / config surface")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the standard benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    pp = sub.add_parser("parity", help="structural parity report vs cv2.Canny")
+    pp.add_argument("--frames", type=int, default=5)
+    pp.add_argument("--height", type=int, default=540)
+    pp.add_argument("--width", type=int, default=960)
+    pp.add_argument("--low", type=int, default=10)
+    pp.add_argument("--high", type=int, default=40)
+    pp.add_argument("--source", default=None,
+                    help="optional source spec (default: synthetic scenes)")
+    pp.set_defaults(fn=cmd_parity)
+
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "run" and args.frames == 0:
+        args.frames = None
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

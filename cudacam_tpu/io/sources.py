@@ -1,0 +1,299 @@
+"""Frame sources.
+
+The reference's only source is ``io::webcam`` wrapping ``cv::VideoCapture``:
+it opens device 0, requests 1920x1080, reads one frame at construction to
+lock the frame spec, and ``read()`` blocks for the next frame, erroring on
+blank frames (reference src/io/webcam.cpp:8-12, 36-40, 65-83). This module
+keeps that contract — spec locked at start, uint8 BGR (or mono) frames — and
+generalises the source kinds: live webcam, video file, recorded ``.npy``
+sequence, and a deterministic synthetic scene generator (the benchmark's
+workload; TPU pods rarely have cameras attached).
+"""
+from __future__ import annotations
+
+import abc
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from cudacam_tpu.utils.logging import get_logger
+
+log = get_logger("io")
+
+
+def make_scene(h: int, w: int, seed: int = 0, t: float = 0.0) -> np.ndarray:
+    """Deterministic BGR scene with realistic edge structure: smooth
+    background + shapes + mild texture, so every pipeline stage (including
+    hysteresis propagation) does representative work. ``t`` animates the
+    scene for synthetic streaming."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        96
+        + 64 * np.sin(2 * np.pi * (xx + 40.0 * t) / 397.0)
+        + 48 * np.cos(2 * np.pi * (yy + 25.0 * t) / 251.0)
+    )
+    img = np.stack([base, base * 0.9, base * 1.1], axis=-1)
+    for _ in range(24):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = int(rng.integers(16, max(17, min(h, w) // 9)))
+        val = rng.integers(0, 256, size=3)
+        dy = int(20.0 * t * (1 if (cy + cx) % 2 else -1))
+        mask = (yy - (cy + dy) % h) ** 2 + (xx - cx) ** 2 < r * r
+        img[mask] = val
+    for _ in range(16):
+        if h > 64 and w > 64:
+            y0, x0 = rng.integers(0, h - 64), rng.integers(0, w - 64)
+            hh, ww = rng.integers(24, min(160, h - y0)), rng.integers(24, min(160, w - x0))
+            img[y0 : y0 + hh, x0 : x0 + ww] = rng.integers(0, 256, size=3)
+    img += rng.normal(0, 2.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class FrameSource(abc.ABC):
+    """Spec-locked frame producer (the ``io::webcam`` contract,
+    webcam.hpp:15-24): ``start()`` locks (height, width, channels);
+    ``read()`` blocks for the next frame; ``frame`` returns the last one;
+    sources are iterable and usable as context managers."""
+
+    def __init__(self) -> None:
+        self._running = False
+        self._frame: Optional[np.ndarray] = None
+        self._spec: Optional[Tuple[int, int, int]] = None
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        if self._running:
+            return
+        self._open()
+        first = self._next()
+        if first is None:
+            raise RuntimeError(f"{type(self).__name__}: no first frame")
+        self._frame = first
+        c = 1 if first.ndim == 2 else first.shape[2]
+        self._spec = (first.shape[0], first.shape[1], c)
+        self._running = True
+        log.info("%s started: spec=%s", type(self).__name__, self._spec)
+
+    def stop(self) -> None:
+        if self._running:
+            self._close()
+            self._running = False
+
+    def is_running(self) -> bool:
+        return self._running
+
+    @property
+    def spec(self) -> Tuple[int, int, int]:
+        """(height, width, channels), locked at start (webcam.cpp:8-12)."""
+        if self._spec is None:
+            raise RuntimeError("source not started")
+        return self._spec
+
+    @property
+    def frame(self) -> Optional[np.ndarray]:
+        """Last frame read (webcam.hpp:22)."""
+        return self._frame
+
+    def read(self) -> np.ndarray:
+        """Blocking read of the next frame; raises at end of stream or on a
+        blank frame (webcam.cpp:74-80)."""
+        if not self._running:
+            raise RuntimeError("source not started")
+        if self._frame is not None and self._spec is not None:
+            # First read() hands out the frame grabbed at start().
+            f, self._frame = self._frame, None
+            return f
+        nxt = self._next()
+        if nxt is None or nxt.size == 0:
+            raise EOFError(f"{type(self).__name__}: stream ended/blank frame")
+        return nxt
+
+    # -- iteration / context management ------------------------------------
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if not self._running:
+            self.start()
+        while True:
+            try:
+                yield self.read()
+            except EOFError:
+                return
+
+    def __enter__(self) -> "FrameSource":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- subclass hooks ----------------------------------------------------
+
+    @abc.abstractmethod
+    def _open(self) -> None: ...
+
+    @abc.abstractmethod
+    def _next(self) -> Optional[np.ndarray]: ...
+
+    def _close(self) -> None:
+        pass
+
+
+class SyntheticSource(FrameSource):
+    """Animated procedural scene; infinite unless ``n_frames`` is set."""
+
+    def __init__(self, height: int = 1080, width: int = 1920, seed: int = 0,
+                 n_frames: Optional[int] = None, fps: float = 30.0) -> None:
+        super().__init__()
+        self._h, self._w, self._seed = height, width, seed
+        self._n = n_frames
+        self._fps = fps
+        self._i = 0
+
+    def _open(self) -> None:
+        self._i = 0
+
+    def _next(self) -> Optional[np.ndarray]:
+        if self._n is not None and self._i >= self._n:
+            return None
+        f = make_scene(self._h, self._w, self._seed, t=self._i / self._fps)
+        self._i += 1
+        return f
+
+
+class VideoFileSource(FrameSource):
+    """Frames decoded from a video file via OpenCV (host-side decode)."""
+
+    def __init__(self, path: str, loop: bool = False) -> None:
+        super().__init__()
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self._path = path
+        self._loop = loop
+        self._cap = None
+
+    def _open(self) -> None:
+        import cv2
+
+        self._cap = cv2.VideoCapture(self._path)
+        if not self._cap.isOpened():
+            raise RuntimeError(f"cannot open video {self._path}")
+
+    def _next(self) -> Optional[np.ndarray]:
+        ok, frame = self._cap.read()
+        if not ok and self._loop:
+            import cv2
+
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            ok, frame = self._cap.read()
+        return frame if ok else None
+
+    def _close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
+class WebcamSource(FrameSource):
+    """Live camera via OpenCV, requesting 1920x1080 like the reference
+    (webcam.cpp:39-40; falls back to the device default)."""
+
+    def __init__(self, device: int = 0, width: int = 1920, height: int = 1080) -> None:
+        super().__init__()
+        self._device = device
+        self._req = (width, height)
+        self._cap = None
+
+    def _open(self) -> None:
+        import cv2
+
+        self._cap = cv2.VideoCapture(self._device, cv2.CAP_ANY)
+        if not self._cap.isOpened():
+            raise RuntimeError(f"cannot open webcam {self._device}")
+        self._cap.set(cv2.CAP_PROP_FRAME_WIDTH, self._req[0])
+        self._cap.set(cv2.CAP_PROP_FRAME_HEIGHT, self._req[1])
+
+    def _next(self) -> Optional[np.ndarray]:
+        ok, frame = self._cap.read()
+        return frame if ok else None
+
+    def _close(self) -> None:
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
+class SequenceSource(FrameSource):
+    """Recorded frames: a ``.npy`` file of shape (N, H, W[, C]) uint8, or a
+    directory of ``.npy``/image files (sorted). The replay/record path the
+    reference lacks (its only capture is live)."""
+
+    def __init__(self, path: str, loop: bool = False) -> None:
+        super().__init__()
+        self._path = path
+        self._loop = loop
+        self._frames: Optional[np.ndarray] = None
+        self._files: Optional[list] = None
+        self._i = 0
+
+    def _open(self) -> None:
+        self._i = 0
+        if os.path.isdir(self._path):
+            names = sorted(
+                f for f in os.listdir(self._path)
+                if f.endswith((".npy", ".png", ".jpg", ".jpeg", ".bmp"))
+            )
+            if not names:
+                raise RuntimeError(f"no frames in {self._path}")
+            self._files = [os.path.join(self._path, f) for f in names]
+        else:
+            arr = np.load(self._path)
+            if arr.dtype != np.uint8 or arr.ndim not in (3, 4):
+                raise ValueError(
+                    f"sequence must be uint8 (N,H,W[,C]), got {arr.dtype} {arr.shape}"
+                )
+            self._frames = arr
+
+    def _next(self) -> Optional[np.ndarray]:
+        n = len(self._files) if self._files is not None else len(self._frames)
+        if self._i >= n:
+            if not self._loop:
+                return None
+            self._i = 0
+        i = self._i
+        self._i += 1
+        if self._frames is not None:
+            return self._frames[i]
+        p = self._files[i]
+        if p.endswith(".npy"):
+            return np.load(p)
+        import cv2
+
+        return cv2.imread(p)
+
+
+def open_source(spec: str, **kw) -> FrameSource:
+    """Parse a source spec string into a FrameSource — the CLI's way in.
+
+    Forms: ``synthetic`` | ``synthetic:HxW`` | ``webcam`` | ``webcam:IDX``
+    | ``video:PATH`` | ``seq:PATH`` | a bare path (video or sequence by
+    extension).
+    """
+    if spec.startswith("synthetic"):
+        if ":" in spec:
+            dims = spec.split(":", 1)[1]
+            h, w = (int(v) for v in dims.lower().split("x"))
+            return SyntheticSource(height=h, width=w, **kw)
+        return SyntheticSource(**kw)
+    if spec.startswith("webcam"):
+        dev = int(spec.split(":", 1)[1]) if ":" in spec else 0
+        return WebcamSource(device=dev, **kw)
+    if spec.startswith("video:"):
+        return VideoFileSource(spec.split(":", 1)[1], **kw)
+    if spec.startswith("seq:"):
+        return SequenceSource(spec.split(":", 1)[1], **kw)
+    if spec.endswith(".npy") or os.path.isdir(spec):
+        return SequenceSource(spec, **kw)
+    return VideoFileSource(spec, **kw)

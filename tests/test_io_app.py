@@ -1,0 +1,264 @@
+"""Tests for the IO layer (sources, ring, metrics, preview) and the
+headless app/CLI — the analog of the reference's io::webcam + ImguiApp
+surface (src/io/webcam.cpp, src/imgui/imguiApp.cpp)."""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cudacam_tpu import CannyConfig, CannyStage
+from cudacam_tpu.app import CannyApp
+from cudacam_tpu.cli import build_parser, main as cli_main
+from cudacam_tpu.io import (
+    DeviceRingBuffer,
+    FpsMeter,
+    SequenceSource,
+    SyntheticSource,
+    ascii_preview,
+    make_scene,
+    open_source,
+)
+
+
+class TestSources:
+    def test_synthetic_spec_lock_and_iteration(self):
+        src = SyntheticSource(height=48, width=64, n_frames=5)
+        with src:
+            assert src.spec == (48, 64, 3)
+            frames = list(src)
+            assert len(frames) == 5
+            assert all(f.shape == (48, 64, 3) and f.dtype == np.uint8 for f in frames)
+
+    def test_read_eof(self):
+        src = SyntheticSource(height=16, width=16, n_frames=1)
+        src.start()
+        src.read()
+        with pytest.raises(EOFError):
+            src.read()
+        src.stop()
+        assert not src.is_running()
+
+    def test_read_before_start_raises(self):
+        with pytest.raises(RuntimeError):
+            SyntheticSource(height=16, width=16).read()
+
+    def test_sequence_npy_roundtrip(self, tmp_path):
+        frames = np.stack([make_scene(24, 32, seed=s) for s in range(3)])
+        p = str(tmp_path / "seq.npy")
+        np.save(p, frames)
+        with SequenceSource(p) as src:
+            assert src.spec == (24, 32, 3)
+            out = list(src)
+        assert len(out) == 3
+        np.testing.assert_array_equal(out[1], frames[1])
+
+    def test_sequence_loop(self, tmp_path):
+        frames = np.stack([make_scene(16, 16, seed=s) for s in range(2)])
+        p = str(tmp_path / "seq.npy")
+        np.save(p, frames)
+        with SequenceSource(p, loop=True) as src:
+            got = [src.read() for _ in range(5)]
+        assert len(got) == 5
+        np.testing.assert_array_equal(got[4], frames[0])
+
+    def test_sequence_rejects_bad_dtype(self, tmp_path):
+        p = str(tmp_path / "bad.npy")
+        np.save(p, np.zeros((2, 8, 8), np.float32))
+        src = SequenceSource(p)
+        with pytest.raises(ValueError):
+            src.start()
+
+    def test_open_source_spec_parsing(self, tmp_path):
+        assert isinstance(open_source("synthetic"), SyntheticSource)
+        s = open_source("synthetic:32x48")
+        with s:
+            assert s.spec == (32, 48, 3)
+        p = str(tmp_path / "x.npy")
+        np.save(p, np.zeros((1, 8, 8), np.uint8))
+        assert isinstance(open_source(f"seq:{p}"), SequenceSource)
+        assert isinstance(open_source(p), SequenceSource)
+
+    def test_animated_scene_changes(self):
+        a = make_scene(32, 32, seed=0, t=0.0)
+        b = make_scene(32, 32, seed=0, t=1.0)
+        assert (a != b).any()
+        # Deterministic for identical params.
+        np.testing.assert_array_equal(a, make_scene(32, 32, seed=0, t=0.0))
+
+
+class TestRing:
+    def test_push_and_history_order(self):
+        r = DeviceRingBuffer(3)
+        assert r.latest() is None
+        for i in range(5):
+            r.push(np.full((2, 2), i, np.uint8))
+        assert len(r) == 3 and r.total_pushed == 5
+        assert r.latest()[0, 0] == 4
+        hist = r.history()
+        assert [int(h[0, 0]) for h in hist] == [4, 3, 2]
+        assert int(r.get(2)[0, 0]) == 2
+        with pytest.raises(IndexError):
+            r.get(3)
+
+    def test_latest_np_readback(self):
+        import jax.numpy as jnp
+
+        r = DeviceRingBuffer(2)
+        r.push(jnp.ones((4, 4), jnp.uint8))
+        out = r.latest_np()
+        assert isinstance(out, np.ndarray) and out.sum() == 16
+
+    def test_clear(self):
+        r = DeviceRingBuffer(2)
+        r.push(np.zeros(1))
+        r.clear()
+        assert len(r) == 0 and r.latest() is None
+
+    def test_bad_capacity(self):
+        with pytest.raises(ValueError):
+            DeviceRingBuffer(0)
+
+
+class TestFpsMeter:
+    def test_fps_from_synthetic_clock(self):
+        m = FpsMeter(window_s=10.0)
+        for i in range(11):
+            m.tick(now=i * 0.1)  # 10 fps
+        assert abs(m.fps - 10.0) < 0.5
+        assert abs(m.ms_per_frame - 100.0) < 5.0
+        assert m.total_frames == 11
+
+    def test_rolling_reset(self):
+        m = FpsMeter(window_s=1.0)
+        m.tick(now=0.0)
+        m.tick(now=0.5)
+        m.tick(now=2.0)  # past the window: resets
+        m.tick(now=2.1)
+        assert abs(m.fps - 10.0) < 1.0
+
+
+class TestPreview:
+    def test_ascii_modes(self):
+        f = make_scene(32, 48, seed=3)
+        plain = ascii_preview(f, width=24, color=False)
+        assert len(plain.splitlines()) > 0
+        assert set(plain) <= set(" .:-=+*#%@\n")
+        ansi = ascii_preview(f, width=24, color=True)
+        assert "\x1b[" in ansi and "▀" in ansi
+
+    def test_save_png(self, tmp_path):
+        from cudacam_tpu.io import save_png
+
+        p = str(tmp_path / "sub" / "x.png")
+        save_png(p, np.zeros((8, 8), np.uint8))
+        assert os.path.exists(p)
+
+
+class TestApp:
+    def _app(self, **kw):
+        src = SyntheticSource(height=40, width=64, n_frames=100)
+        return CannyApp(src, **kw)
+
+    def test_run_loop_and_ring(self):
+        with self._app(ring_capacity=4) as app:
+            n = app.run(6)
+            assert n == 6
+            assert len(app.ring) == 4 and app.ring.total_pushed == 6
+            out = app.ring.latest_np()
+            assert out.shape == (40, 64) and out.dtype == np.uint8
+            assert app.fps > 0
+
+    def test_stage_controls(self):
+        with self._app() as app:
+            assert app.stage == CannyStage.HYSTER
+            app.set_stage(CannyStage.MONO)
+            app.step()
+            assert app.ring.latest_np().shape == (40, 64)
+            assert app.cycle_stage() == CannyStage.GAUSSIAN
+            # Wraps around the 6 stages.
+            for _ in range(5):
+                app.cycle_stage()
+            assert app.stage == CannyStage.MONO
+
+    def test_threshold_clamping_via_app(self):
+        with self._app() as app:
+            app.set_thresholds(low=200)  # clamped to high (40)
+            assert app.engine.get_low_threshold() == 40
+            app.set_thresholds(high=300)
+            assert app.engine.get_high_threshold() == 255
+
+    def test_pause_reuses_last_frame(self):
+        with self._app() as app:
+            app.step()
+            app.pause()
+            assert app.paused
+            f1 = app._last_input
+            app.step()
+            assert app._last_input is f1  # no new read while paused
+            app.resume()
+            app.step()
+            assert app._last_input is not f1
+
+    def test_toggle_pipeline_passthrough(self):
+        with self._app() as app:
+            assert not app.toggle_pipeline()  # now disabled
+            app.step()
+            out = app.ring.latest_np()
+            assert out.shape == (40, 64, 3)  # raw BGR passthrough
+            assert app.toggle_pipeline()
+
+    def test_spec_mismatch_rejected(self):
+        src = SyntheticSource(height=40, width=64, n_frames=2)
+        with pytest.raises(ValueError):
+            CannyApp(src, config=CannyConfig(height=32, width=32))
+
+    def test_record(self, tmp_path):
+        with self._app() as app:
+            p = app.record(3, str(tmp_path / "out.npy"))
+            arr = np.load(p)
+            assert arr.shape == (3, 40, 64) and arr.dtype == np.uint8
+
+    def test_preview_and_save(self, tmp_path):
+        with self._app() as app:
+            app.step()
+            assert len(app.preview(width=32, color=False)) > 0
+            p = app.save_frame(str(tmp_path / "f.png"))
+            assert p and os.path.exists(p)
+
+    def test_profiling_table(self):
+        with self._app(profiling=True) as app:
+            app.step()
+            table = app.profiling_table()
+            assert "6/6 Hysteresis" in table
+
+
+class TestCli:
+    def test_parser_covers_surface(self):
+        p = build_parser()
+        args = p.parse_args(
+            ["run", "--source", "synthetic:32x32", "--frames", "2",
+             "--stage", "nms", "--low", "5", "--high", "50",
+             "--kernel-size", "3", "--norm", "l1", "--backend", "xla"]
+        )
+        assert args.stage == "nms" and args.kernel_size == 3
+
+    def test_cli_run_end_to_end(self, capsys, tmp_path):
+        rc = cli_main(
+            ["run", "--source", "synthetic:32x48", "--frames", "3",
+             "--backend", "xla", "--save", str(tmp_path / "o.png")]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "3 frames in" in out and "backend=xla" in out
+        assert os.path.exists(tmp_path / "o.png")
+
+    def test_cli_info(self, capsys):
+        assert cli_main(["info"]) == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["stages"][-1] == "HYSTER"
+        assert sorted(info["kernel_sizes"]) == [3, 5, 7]
