@@ -274,6 +274,37 @@ class SequenceSource(FrameSource):
         return cv2.imread(p)
 
 
+class RawvSource(FrameSource):
+    """Frames from a ``.rawv`` stream via the native prefetching frame pump
+    (cudacam_tpu/native/framepump.cpp): a C++ producer thread fills a
+    page-aligned ring while this consumer overlaps device compute — the
+    native IO path (the reference's IO layer is likewise native C++,
+    src/io/webcam.cpp)."""
+
+    def __init__(self, path: str, loop: bool = False, ring_slots: int = 4) -> None:
+        super().__init__()
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self._path = path
+        self._loop = loop
+        self._ring_slots = ring_slots
+        self._pump = None
+
+    def _open(self) -> None:
+        from cudacam_tpu.native import FramePump
+
+        self._pump = FramePump(self._path, loop=self._loop,
+                               ring_slots=self._ring_slots)
+
+    def _next(self) -> Optional[np.ndarray]:
+        return self._pump.read()
+
+    def _close(self) -> None:
+        if self._pump is not None:
+            self._pump.close()
+            self._pump = None
+
+
 def open_source(spec: str, **kw) -> FrameSource:
     """Parse a source spec string into a FrameSource — the CLI's way in.
 
@@ -294,6 +325,10 @@ def open_source(spec: str, **kw) -> FrameSource:
         return VideoFileSource(spec.split(":", 1)[1], **kw)
     if spec.startswith("seq:"):
         return SequenceSource(spec.split(":", 1)[1], **kw)
+    if spec.startswith("rawv:"):
+        return RawvSource(spec.split(":", 1)[1], **kw)
+    if spec.endswith(".rawv"):
+        return RawvSource(spec, **kw)
     if spec.endswith(".npy") or os.path.isdir(spec):
         return SequenceSource(spec, **kw)
     return VideoFileSource(spec, **kw)
