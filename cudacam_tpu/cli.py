@@ -72,18 +72,24 @@ def cmd_run(args: argparse.Namespace) -> int:
                       f"fps={app.fps:.1f}")
 
         app.warmup()  # compile outside the timed loop
-        t0 = time.perf_counter()
-        if args.record:
-            app.record(args.frames or 30, args.record)
-            n = args.frames or 30
-        else:
-            n = app.run(args.frames, on_frame=on_frame)
-            import jax
+        import contextlib
 
-            out = app.ring.latest()
-            if out is not None:
-                jax.block_until_ready(out)
+        tracer = app.engine.trace(args.trace) if args.trace else contextlib.nullcontext()
+        t0 = time.perf_counter()
+        with tracer:
+            if args.record:
+                app.record(args.frames or 30, args.record)
+                n = args.frames or 30
+            else:
+                n = app.run(args.frames, on_frame=on_frame)
+                import jax
+
+                out = app.ring.latest()
+                if out is not None:
+                    jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        if args.trace:
+            print(f"profile written to {args.trace}")
         if args.save:
             app.save_frame(args.save)
             print(f"saved {args.save}")
@@ -129,6 +135,44 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sweep(args: argparse.Namespace) -> int:
+    from cudacam_tpu.config import CannyConfig
+    from cudacam_tpu.engine import CannyEngine
+    from cudacam_tpu.io import open_source
+
+    lows = [int(v) for v in args.lows.split(",")]
+    highs = [int(v) for v in args.highs.split(",")]
+    if args.zip_pairs:
+        if len(lows) != len(highs):
+            print("--zip requires equal-length lists", file=sys.stderr)
+            return 2
+        pairs = [(lo, hi) for lo, hi in zip(lows, highs) if lo <= hi]
+    else:
+        pairs = [(lo, hi) for lo in lows for hi in highs if lo <= hi]
+    with open_source(args.source) as src:
+        frame = src.read()
+    h, w, c = frame.shape[0], frame.shape[1], (frame.shape[2] if frame.ndim == 3 else 1)
+    eng = CannyEngine(CannyConfig(height=h, width=w, channels=c))
+    maps, counts = eng.threshold_sweep(
+        frame, [p[0] for p in pairs], [p[1] for p in pairs]
+    )
+    counts = np.asarray(counts)
+    rows = [
+        {"low": lo, "high": hi, "edge_px": int(n),
+         "edge_frac": round(float(n) / (h * w), 5)}
+        for (lo, hi), n in zip(pairs, counts)
+    ]
+    print(json.dumps({"frame": f"{h}x{w}", "sweep": rows}, indent=2))
+    if args.save_dir:
+        from cudacam_tpu.io.preview import save_png
+
+        arr = np.asarray(maps)
+        for (lo, hi), m in zip(pairs, arr):
+            save_png(f"{args.save_dir}/edges_lo{lo}_hi{hi}.png", m)
+        print(f"saved {len(pairs)} maps to {args.save_dir}")
+    return 0
+
+
 def cmd_parity(args: argparse.Namespace) -> int:
     """Structural parity report vs cv2.Canny (the reference's own manual
     correctness check, README.md:16, done as a measured tool)."""
@@ -166,6 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--preview-width", type=int, default=96)
     pr.add_argument("--save", default=None, help="save last output as PNG")
     pr.add_argument("--record", default=None, help="record outputs to .npy")
+    pr.add_argument("--trace", default=None,
+                    help="capture a device profile (XProf/TensorBoard dir)")
     pr.set_defaults(fn=cmd_run)
 
     pi = sub.add_parser("info", help="devices / backends / config surface")
@@ -173,6 +219,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     pb = sub.add_parser("bench", help="run the standard benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    ps = sub.add_parser(
+        "sweep",
+        help="threshold sweep: K (low,high) pairs in one compiled program",
+    )
+    ps.add_argument("--source", default="synthetic:540x960")
+    ps.add_argument("--lows", default="5,10,20,40",
+                    help="comma-separated low thresholds")
+    ps.add_argument("--highs", default="20,40,80,160",
+                    help="comma-separated high thresholds (crossed with lows)")
+    ps.add_argument("--zip", action="store_true", dest="zip_pairs",
+                    help="pair lows[i] with highs[i] instead of the cross product")
+    ps.add_argument("--save-dir", default=None, help="save each edge map as PNG")
+    ps.set_defaults(fn=cmd_sweep)
 
     pp = sub.add_parser("parity", help="structural parity report vs cv2.Canny")
     pp.add_argument("--frames", type=int, default=5)

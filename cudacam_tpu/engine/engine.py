@@ -24,6 +24,7 @@ TPU-native differences:
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Callable, Dict, Optional, Union
 
@@ -312,3 +313,29 @@ class CannyEngine:
 
     def profiling_table(self) -> str:
         return self._timers.table()
+
+    def threshold_sweep(self, frame: ArrayLike, lows, highs):
+        """Edge maps + counts for K (low, high) pairs in one compiled
+        program (see xla_ops.threshold_sweep)."""
+        arr, batched = self._validate(frame)
+        if batched:
+            raise ValueError("threshold_sweep takes a single frame")
+        lows = np.asarray(lows, np.int32)
+        highs = np.asarray(highs, np.int32)
+        if lows.shape != highs.shape or lows.ndim != 1:
+            raise ValueError("lows/highs must be equal-length 1D")
+        k = int(lows.shape[0])
+        fn = self._to_stage_fns.get(("sweep", k))
+        if fn is None:
+            cfg = self._cfg
+            fn = jax.jit(lambda f, lo, hi: xla_ops.threshold_sweep(f, lo, hi, cfg))
+            self._to_stage_fns[("sweep", k)] = fn
+        return fn(arr, jnp.asarray(lows), jnp.asarray(highs))
+
+    @contextlib.contextmanager
+    def trace(self, logdir: str):
+        """Capture a device profile of everything run inside the context
+        (TensorBoard/XProf format) — the deep-dive layer under the
+        per-stage timer table, reference cannyEdgeH.cu:409-430."""
+        with jax.profiler.trace(logdir):
+            yield

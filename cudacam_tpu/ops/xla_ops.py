@@ -294,6 +294,35 @@ STAGE_DISPLAY_KEY: Dict[CannyStage, str] = {
 }
 
 
+def threshold_sweep(
+    frame: jnp.ndarray,
+    lows: jnp.ndarray,
+    highs: jnp.ndarray,
+    cfg: CannyConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the pipeline once to NMS, then vmap the threshold+hysteresis tail
+    over K (low, high) pairs — BASELINE.json config 3's threshold-sweep
+    tooling as a single compiled program. The reference would need K full
+    kernel-chain relaunches for this; here the feed-forward stages are
+    computed once and only the data-dependent tail fans out.
+
+    Returns (maps, edge_counts): (K, H, W) uint8 edge maps and (K,) int32
+    FINAL-edge counts.
+    """
+    mono = rgb2mono(frame)
+    blur = gaussian_blur(mono, cfg.kernel_size)
+    sum_x, sum_y = sobel_sums(blur)
+    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+
+    def tail(lo, hi):
+        th = double_threshold(nms, lo, hi)
+        return hysteresis(th, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
+
+    maps = jax.vmap(tail)(jnp.asarray(lows, jnp.int32), jnp.asarray(highs, jnp.int32))
+    counts = (maps == FINAL_EDGE).sum(axis=(1, 2)).astype(jnp.int32)
+    return maps, counts
+
+
 def canny_to_stage(
     frame: jnp.ndarray,
     low: jnp.ndarray,
