@@ -164,10 +164,28 @@ class CannyApp:
 
     # -- readback / export (the only host transfers) -----------------------
 
-    def preview(self, width: int = 96, color: bool = True) -> str:
-        """Terminal rendering of the newest output."""
+    def preview(
+        self,
+        width: int = 96,
+        color: bool = True,
+        zoom: float = 1.0,
+        center: Optional[tuple] = None,
+    ) -> str:
+        """Terminal rendering of the newest output. ``zoom`` > 1 crops to a
+        1/zoom-sized window around ``center`` (fractions of the frame,
+        default middle) — the reference's mouse-wheel zoom tooltip, 2-6x
+        (imguiApp.cpp:168-179, 452-474)."""
         f = self._ring.latest_np()
-        return "" if f is None else ascii_preview(f, width=width, color=color)
+        if f is None:
+            return ""
+        if zoom > 1.0:
+            h, w = f.shape[:2]
+            cy, cx = center or (0.5, 0.5)
+            zh, zw = max(2, int(h / zoom)), max(2, int(w / zoom))
+            y0 = min(max(0, int(cy * h) - zh // 2), h - zh)
+            x0 = min(max(0, int(cx * w) - zw // 2), w - zw)
+            f = f[y0 : y0 + zh, x0 : x0 + zw]
+        return ascii_preview(f, width=width, color=color)
 
     def save_frame(self, path: str) -> Optional[str]:
         f = self._ring.latest_np()

@@ -34,6 +34,9 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kernel-size", type=int, default=5, choices=(3, 5, 7))
     p.add_argument("--norm", default="l2", choices=("l2", "l1"))
     p.add_argument("--backend", default="auto", choices=("auto", "pallas", "xla"))
+    p.add_argument("--parity", default="reference", choices=("reference", "opencv"),
+                   help="threshold domain: reference uint8 magnitudes, or "
+                        "cv2.Canny's raw Sobel magnitudes (values carry 1:1)")
 
 
 def _stages():
@@ -60,6 +63,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     cfg = CannyConfig(
         height=h, width=w, channels=c,
         kernel_size=args.kernel_size, norm=args.norm, backend=args.backend,
+        parity=args.parity,
         low_threshold=args.low, high_threshold=args.high,
     )
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),

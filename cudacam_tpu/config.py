@@ -96,17 +96,25 @@ class CannyConfig:
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
 
+    @property
+    def threshold_cap(self) -> int:
+        """Largest meaningful threshold for the configured parity domain:
+        255 for the reference's uint8 magnitudes; the raw Sobel magnitude
+        ceiling (1443 L2 / 2040 L1, rounded up) for 'opencv' parity."""
+        return 255 if self.parity == "reference" else 2048
+
     # Threshold clamping identical to the reference setters, which force
     # low <= high (cannyEdgeH.hpp:25-28).
     def clamp_low(self, low: int) -> int:
         return max(0, min(int(low), self.high_threshold))
 
     def clamp_high(self, high: int) -> int:
-        return min(255, max(int(high), self.low_threshold))
+        return min(self.threshold_cap, max(int(high), self.low_threshold))
 
     def with_thresholds(self, low: int, high: int) -> "CannyConfig":
-        low = max(0, min(255, int(low)))
-        high = max(0, min(255, int(high)))
+        cap = self.threshold_cap
+        low = max(0, min(cap, int(low)))
+        high = max(0, min(cap, int(high)))
         if low > high:
             low = high
         return dataclasses.replace(self, low_threshold=low, high_threshold=high)

@@ -106,7 +106,7 @@ class CannyEngine:
 
     def set_high_threshold(self, high: int) -> None:
         """Clamped so high >= low (reference cannyEdgeH.hpp:27-28)."""
-        self._high = min(255, max(int(high), self._low))
+        self._high = min(self._cfg.threshold_cap, max(int(high), self._low))
         self._thresh_dev = None
 
     def _thresholds(self) -> tuple:

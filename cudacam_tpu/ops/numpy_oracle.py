@@ -236,6 +236,57 @@ def double_threshold(nms: np.ndarray, low: int, high: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+def nms_keep_mask(sum_x: np.ndarray, sum_y: np.ndarray, norm: str = "l2") -> np.ndarray:
+    """The NMS keep decision alone (both directional neighbors <= center),
+    independent of the magnitude representation."""
+    if norm == "l2":
+        g = sum_x * sum_x + sum_y * sum_y
+    else:
+        g = np.abs(sum_x) + np.abs(sum_y)
+    h, w = g.shape
+    gp = np.pad(g, 1)
+
+    def shift(dy: int, dx: int) -> np.ndarray:
+        return gp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    sector = _sector_bins(sum_x, sum_y)
+    q = np.choose(sector, [shift(1, 0), shift(1, -1), shift(0, 1), shift(-1, -1)])
+    r = np.choose(sector, [shift(-1, 0), shift(-1, 1), shift(0, -1), shift(1, 1)])
+    return (q <= g) & (r <= g)
+
+
+def double_threshold_opencv(
+    sum_x: np.ndarray,
+    sum_y: np.ndarray,
+    keep: np.ndarray,
+    low: int,
+    high: int,
+    norm: str = "l2",
+) -> np.ndarray:
+    """Double threshold in *OpenCV's* magnitude domain (the framework's
+    ``parity='opencv'`` mode): thresholds compare against the raw Sobel
+    magnitude sqrt(sumX^2 + sumY^2) (L2) or |sumX|+|sumY| (L1) — exactly the
+    quantity ``cv2.Canny(blurred, low, high, L2gradient=...)`` thresholds —
+    so cv2 threshold values carry over 1:1. Decisions stay exact integer:
+    sqrt(m) > t  <=>  m > t*t for integer t.
+
+    The reference's own domain (``parity='reference'``) instead thresholds
+    ``grad_coeff * sqrt(m) / 8`` truncated to uint8 (cannyEdgeD.cu:195,267).
+    """
+    if norm == "l2":
+        m = sum_x * sum_x + sum_y * sum_y
+        lo_c, hi_c = int(low) * int(low), int(high) * int(high)
+    else:
+        m = np.abs(sum_x) + np.abs(sum_y)
+        lo_c, hi_c = int(low), int(high)
+    out = np.where(
+        keep & (m > hi_c),
+        np.uint8(FINAL_EDGE),
+        np.where(keep & (m > lo_c), np.uint8(CANDIDATE_EDGE), np.uint8(NO_EDGE)),
+    )
+    return out.astype(np.uint8)
+
+
 def hysteresis(thresh: np.ndarray, remove_candidates: bool = True) -> np.ndarray:
     """Edge-tracking hysteresis to its global fixed point.
 
@@ -284,17 +335,25 @@ def canny_pipeline(
     kernel_size: int = 5,
     grad_coeff: int = 4,
     norm: str = "l2",
+    parity: str = "reference",
 ) -> dict:
     """Run every stage, returning all display buffers keyed by stage name.
     Mirrors the reference's cumulative stage dispatch (cannyEdgeH.cu:49-120)
-    and its stage output selection (_sendOutputToOpenGL, cannyEdgeH.cu:154-212)."""
+    and its stage output selection (_sendOutputToOpenGL, cannyEdgeH.cu:154-212).
+    ``parity='opencv'`` thresholds raw Sobel magnitudes instead of the
+    reference's scaled uint8 domain (see double_threshold_opencv)."""
+    disp_coeff = grad_coeff if parity == "reference" else 8
     mono = rgb2mono(frame)
     blur = gaussian_blur(mono, kernel_size)
     sum_x, sum_y = sobel_sums(blur)
     sx, sy = sum_x.astype(np.float32) / np.float32(8.0), sum_y.astype(np.float32) / np.float32(8.0)
     grad, slope = grad_slope(sx, sy, grad_coeff=grad_coeff, norm=norm)
-    nms = non_max_suppression(sum_x, sum_y, grad_coeff=grad_coeff, norm=norm)
-    thresh = double_threshold(nms, low, high)
+    nms = non_max_suppression(sum_x, sum_y, grad_coeff=disp_coeff, norm=norm)
+    if parity == "reference":
+        thresh = double_threshold(nms, low, high)
+    else:
+        keep = nms_keep_mask(sum_x, sum_y, norm)
+        thresh = double_threshold_opencv(sum_x, sum_y, keep, low, high, norm)
     hyster = hysteresis(thresh)
     # GRADIENT display: the reference runs float2uchar over the float grad
     # plane (cannyEdgeH.cu:185). min(trunc(coeff*sqrt(m)/8), 255) equals the
@@ -306,7 +365,7 @@ def canny_pipeline(
         "sobel_y": sy,
         "grad": grad,
         "slope": slope,
-        "gradient_display": nms_magnitude_u8(sum_x, sum_y, grad_coeff=grad_coeff, norm=norm),
+        "gradient_display": nms_magnitude_u8(sum_x, sum_y, grad_coeff=disp_coeff, norm=norm),
         "nms": nms,
         "thresh": thresh,
         "hyster": hyster,

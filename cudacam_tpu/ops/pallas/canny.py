@@ -43,6 +43,7 @@ def canny_to_stage_pallas(
         kernel_size=cfg.kernel_size,
         grad_coeff=cfg.grad_coeff,
         norm=cfg.norm,
+        parity=cfg.parity,
         out_stage=ff_stage,
         interpret=interpret,
     )

@@ -150,6 +150,7 @@ def _kernel_body(
     kernel_size: int,
     grad_coeff: int,
     norm: str,
+    parity: str,
     out_stage: CannyStage,
     n_blocks: int,
 ):
@@ -207,15 +208,19 @@ def _kernel_body(
 
     # Exact uint8 magnitude: isqrt via f32 sqrt + integer fixup (values
     # < 2^24 so the float path is exact; see oracle.nms_magnitude_u8).
+    # Display coefficient is the reference's grad_coeff in 'reference'
+    # parity; 8 in 'opencv' parity ((s*8)>>3 == s, the raw Sobel magnitude).
+    disp_coeff = grad_coeff if parity == "reference" else 8
+
     def magnitude_i32() -> jnp.ndarray:
         if norm == "l2":
             m = sum_x * sum_x + sum_y * sum_y
             s = jnp.sqrt(m.astype(jnp.float32)).astype(jnp.int32)
             s = jnp.where(s * s > m, s - 1, s)
             s = jnp.where((s + 1) * (s + 1) <= m, s + 1, s)
-            val = (s * grad_coeff) >> 3
+            val = (s * disp_coeff) >> 3
         else:
-            val = (grad_coeff * (jnp.abs(sum_x) + jnp.abs(sum_y))) >> 3
+            val = (disp_coeff * (jnp.abs(sum_x) + jnp.abs(sum_y))) >> 3
         return jnp.minimum(val, 255)
 
     if out_stage == CannyStage.GRADIENT:
@@ -246,19 +251,28 @@ def _kernel_body(
         bin0, gu, jnp.where(bin2, gl, jnp.where(folded_u > 0, gur, gdr))
     )
     keep = ((q <= g) & (r <= g)).astype(jnp.int32)
-    nms = keep * magnitude_i32()
 
     if out_stage == CannyStage.NMS:
-        emit(nms)
+        emit(keep * magnitude_i32())
         return
 
     # --- 5/6 double threshold (cannyEdgeD.cu:273-293), strict inequalities -
     lo = lo_ref[0]
     hi = hi_ref[0]
+    if parity == "reference":
+        # Threshold the reference's uint8 magnitude domain.
+        nms = keep * magnitude_i32()
+        lo_c, hi_c = lo, hi
+    else:
+        # 'opencv' parity: threshold raw Sobel magnitudes exactly —
+        # sqrt(m) > t <=> m > t*t (g already holds m, or the L1 sum).
+        nms = keep * g
+        lo_c = lo * lo if norm == "l2" else lo
+        hi_c = hi * hi if norm == "l2" else hi
     out = jnp.where(
-        nms > hi,
+        nms > hi_c,
         jnp.int32(FINAL_EDGE),
-        jnp.where(nms > lo, jnp.int32(CANDIDATE_EDGE), jnp.int32(NO_EDGE)),
+        jnp.where(nms > lo_c, jnp.int32(CANDIDATE_EDGE), jnp.int32(NO_EDGE)),
     )
     emit(out)
 
@@ -269,6 +283,7 @@ def _kernel_body(
         "kernel_size",
         "grad_coeff",
         "norm",
+        "parity",
         "out_stage",
         "interpret",
         "block_h",
@@ -281,6 +296,7 @@ def feed_forward_to_stage(
     kernel_size: int = 5,
     grad_coeff: int = 4,
     norm: str = "l2",
+    parity: str = "reference",
     out_stage: CannyStage = CannyStage.THRESH,
     interpret: bool = False,
     block_h: Optional[int] = None,
@@ -313,6 +329,7 @@ def feed_forward_to_stage(
         kernel_size=kernel_size,
         grad_coeff=grad_coeff,
         norm=norm,
+        parity=parity,
         out_stage=out_stage,
         n_blocks=n_blocks,
     )

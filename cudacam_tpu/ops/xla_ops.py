@@ -123,11 +123,12 @@ def nms_magnitude_u8(
     return jnp.minimum(val, 255).astype(jnp.uint8)
 
 
-def non_max_suppression(
-    sum_x: jnp.ndarray, sum_y: jnp.ndarray, grad_coeff: int = 4, norm: str = "l2"
+def nms_keep_mask(
+    sum_x: jnp.ndarray, sum_y: jnp.ndarray, norm: str = "l2"
 ) -> jnp.ndarray:
-    """NMS with Q15 sector binning and ties-kept comparisons
-    (reference cannyEdgeD.cu:201-270; see oracle for semantics)."""
+    """The NMS keep decision (both directional neighbors <= center) with Q15
+    sector binning and ties kept (reference cannyEdgeD.cu:201-270; see
+    oracle for semantics)."""
     g = _comparable_magnitude(sum_x, sum_y, norm)
     h, w = g.shape
     gp = jnp.pad(g, 1)
@@ -161,9 +162,43 @@ def non_max_suppression(
             jnp.where(folded_u > 0, shift(-1, 1), shift(1, 1)),
         ),
     )
-    keep = (q <= g) & (r <= g)
+    return (q <= g) & (r <= g)
+
+
+def non_max_suppression(
+    sum_x: jnp.ndarray, sum_y: jnp.ndarray, grad_coeff: int = 4, norm: str = "l2"
+) -> jnp.ndarray:
+    """NMS display buffer: keep-masked uint8 magnitude."""
+    keep = nms_keep_mask(sum_x, sum_y, norm)
     mag = nms_magnitude_u8(sum_x, sum_y, grad_coeff=grad_coeff, norm=norm)
     return jnp.where(keep, mag, jnp.uint8(0))
+
+
+def double_threshold_opencv(
+    sum_x: jnp.ndarray,
+    sum_y: jnp.ndarray,
+    keep: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    norm: str = "l2",
+) -> jnp.ndarray:
+    """Double threshold in OpenCV's magnitude domain (``parity='opencv'``):
+    compares against raw Sobel magnitudes, so cv2.Canny threshold values
+    carry over 1:1. Exact: sqrt(m) > t <=> m > t*t for integer t (see
+    oracle.double_threshold_opencv)."""
+    low = low.astype(jnp.int32)
+    high = high.astype(jnp.int32)
+    if norm == "l2":
+        m = sum_x * sum_x + sum_y * sum_y
+        lo_c, hi_c = low * low, high * high
+    else:
+        m = jnp.abs(sum_x) + jnp.abs(sum_y)
+        lo_c, hi_c = low, high
+    return jnp.where(
+        keep & (m > hi_c),
+        jnp.uint8(FINAL_EDGE),
+        jnp.where(keep & (m > lo_c), jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
+    )
 
 
 def double_threshold(nms: jnp.ndarray, low: jnp.ndarray, high: jnp.ndarray) -> jnp.ndarray:
@@ -247,6 +282,34 @@ def float2uchar(x: jnp.ndarray) -> jnp.ndarray:
 # Whole-pipeline builders
 # ---------------------------------------------------------------------------
 
+def _display_coeff(cfg: CannyConfig) -> int:
+    """Magnitude coefficient for display buffers: the reference's grad_coeff
+    in 'reference' parity; 8 in 'opencv' parity so the displayed value is the
+    raw Sobel magnitude clamp ((s*8)//8 == s)."""
+    return cfg.grad_coeff if cfg.parity == "reference" else 8
+
+
+def compute_threshold_map(
+    sum_x: jnp.ndarray,
+    sum_y: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+) -> jnp.ndarray:
+    """NMS + double threshold under the configured parity domain:
+    'reference' thresholds the reference's uint8 magnitude
+    (grad_coeff*sqrt(m)/8 truncated, cannyEdgeD.cu:195,267); 'opencv'
+    thresholds raw Sobel magnitudes so cv2.Canny values carry over 1:1."""
+    keep = nms_keep_mask(sum_x, sum_y, cfg.norm)
+    if cfg.parity == "reference":
+        nms = jnp.where(
+            keep,
+            nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm),
+            jnp.uint8(0),
+        )
+        return double_threshold(nms, low, high)
+    return double_threshold_opencv(sum_x, sum_y, keep, low, high, cfg.norm)
+
 def canny_all_stages(
     frame: jnp.ndarray,
     low: jnp.ndarray,
@@ -263,8 +326,8 @@ def canny_all_stages(
     sx = sum_x.astype(jnp.float32) * inv8
     sy = sum_y.astype(jnp.float32) * inv8
     grad, slope = grad_slope(sx, sy, cfg.grad_coeff, cfg.norm)
-    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
-    thresh = double_threshold(nms, low, high)
+    nms = non_max_suppression(sum_x, sum_y, _display_coeff(cfg), cfg.norm)
+    thresh = compute_threshold_map(sum_x, sum_y, low, high, cfg)
     hyster = hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
     return {
         "mono": mono,
@@ -275,7 +338,7 @@ def canny_all_stages(
         "slope": slope,
         # Exact-integer GRADIENT display == float2uchar(grad) up to float
         # rounding; see oracle.canny_pipeline.
-        "gradient_display": nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm),
+        "gradient_display": nms_magnitude_u8(sum_x, sum_y, _display_coeff(cfg), cfg.norm),
         "nms": nms,
         "thresh": thresh,
         "hyster": hyster,
@@ -312,10 +375,9 @@ def threshold_sweep(
     mono = rgb2mono(frame)
     blur = gaussian_blur(mono, cfg.kernel_size)
     sum_x, sum_y = sobel_sums(blur)
-    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
 
     def tail(lo, hi):
-        th = double_threshold(nms, lo, hi)
+        th = compute_threshold_map(sum_x, sum_y, lo, hi, cfg)
         return hysteresis(th, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
 
     maps = jax.vmap(tail)(jnp.asarray(lows, jnp.int32), jnp.asarray(highs, jnp.int32))
@@ -342,11 +404,10 @@ def canny_to_stage(
     sum_x, sum_y = sobel_sums(blur)
     if final_stage == CannyStage.GRADIENT:
         # Exact-integer equivalent of float2uchar(grad) (cannyEdgeH.cu:185).
-        return nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
-    nms = non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+        return nms_magnitude_u8(sum_x, sum_y, _display_coeff(cfg), cfg.norm)
     if final_stage == CannyStage.NMS:
-        return nms
-    thresh = double_threshold(nms, low, high)
+        return non_max_suppression(sum_x, sum_y, _display_coeff(cfg), cfg.norm)
+    thresh = compute_threshold_map(sum_x, sum_y, low, high, cfg)
     if final_stage == CannyStage.THRESH:
         return thresh
     return hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)

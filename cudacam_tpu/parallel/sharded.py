@@ -144,14 +144,15 @@ def build_sharded_pipeline(
         sum_x, sum_y = xla_ops.sobel_sums(blur)
         sum_x = jnp.where(valid, sum_x, 0)
         sum_y = jnp.where(valid, sum_y, 0)
+        disp_coeff = xla_ops._display_coeff(cfg)
         if final_stage == CannyStage.GRADIENT:
-            out = xla_ops.nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
+            out = xla_ops.nms_magnitude_u8(sum_x, sum_y, disp_coeff, cfg.norm)
             return _trim(out, halo, (0, 1))
-        nms = xla_ops.non_max_suppression(sum_x, sum_y, cfg.grad_coeff, cfg.norm)
-        nms = jnp.where(valid, nms, jnp.uint8(0))
         if final_stage == CannyStage.NMS:
+            nms = xla_ops.non_max_suppression(sum_x, sum_y, disp_coeff, cfg.norm)
+            nms = jnp.where(valid, nms, jnp.uint8(0))
             return _trim(nms, halo, (0, 1))
-        thresh = xla_ops.double_threshold(nms, low, high)
+        thresh = xla_ops.compute_threshold_map(sum_x, sum_y, low, high, cfg)
         return _trim(thresh, halo, (0, 1))
 
     def local_hysteresis(thresh: jnp.ndarray) -> jnp.ndarray:

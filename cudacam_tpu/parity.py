@@ -48,7 +48,7 @@ def _structural_scores(ours: np.ndarray, theirs: np.ndarray) -> Dict[str, float]
 _jit_cache: Dict = {}
 
 
-def _our_canny(frame: np.ndarray, low: int, high: int) -> np.ndarray:
+def _our_canny(frame: np.ndarray, low: int, high: int, parity: str) -> np.ndarray:
     """Jitted full pipeline (one compiled executable per frame spec)."""
     import jax
     import jax.numpy as jnp
@@ -57,11 +57,12 @@ def _our_canny(frame: np.ndarray, low: int, high: int) -> np.ndarray:
     from cudacam_tpu.ops import xla_ops
     from cudacam_tpu.stages import CannyStage
 
-    key = frame.shape
+    key = (frame.shape, parity)
     fn = _jit_cache.get(key)
     if fn is None:
         h, w = frame.shape[:2]
-        cfg = CannyConfig(height=h, width=w, channels=3 if frame.ndim == 3 else 1)
+        cfg = CannyConfig(height=h, width=w,
+                          channels=3 if frame.ndim == 3 else 1, parity=parity)
         fn = jax.jit(
             lambda f, lo, hi: xla_ops.canny_to_stage(
                 f, lo, hi, cfg, CannyStage.HYSTER
@@ -74,16 +75,25 @@ def _our_canny(frame: np.ndarray, low: int, high: int) -> np.ndarray:
 def compare_frame(
     frame: np.ndarray, low: int = 10, high: int = 40, grad_coeff: int = 4
 ) -> Dict[str, float]:
-    """Run both pipelines on one BGR frame and score structural agreement."""
-    import cv2
+    """Run both pipelines on one BGR frame and score structural agreement.
 
-    ours = _our_canny(frame, low, high)
-    # cv2 on the same observable: gray + same-kernel blur, thresholds mapped
-    # into cv2's raw-Sobel-magnitude domain (see module docstring).
-    gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) if frame.ndim == 3 else frame
-    blurred = cv2.GaussianBlur(gray, (5, 5), 0)
+    Uses the framework's ``parity='opencv'`` threshold domain, so cv2's
+    thresholds are *identical numbers* — thresholds passed here are in the
+    reference's uint8 domain and mapped by 8/grad_coeff into both.
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from cudacam_tpu.ops import numpy_oracle as oracle
+
     scale = 8.0 / grad_coeff
-    cv = cv2.Canny(blurred, int(low * scale), int(high * scale), L2gradient=True)
+    cv_low, cv_high = int(low * scale), int(high * scale)
+    ours = _our_canny(frame, cv_low, cv_high, parity="opencv")
+    # cv2 on the same observable: OUR fixed-point gray + OUR integer blur
+    # (cv2.Canny does not blur internally), so the comparison isolates
+    # NMS/hysteresis differences only.
+    blurred = oracle.gaussian_blur(oracle.rgb2mono(frame), 5)
+    cv = cv2.Canny(blurred, cv_low, cv_high, L2gradient=True)
     return _structural_scores(ours, cv)
 
 
