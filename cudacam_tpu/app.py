@@ -120,6 +120,21 @@ class CannyApp:
     def fps(self) -> float:
         return self._fps.fps
 
+    def status(self) -> dict:
+        """Live status snapshot (the ImGui info panel analog)."""
+        return {
+            "stage": self._stage.name,
+            "stage_label": CANNY_STAGE_NAMES[self._stage],
+            "low": self._engine.get_low_threshold(),
+            "high": self._engine.get_high_threshold(),
+            "backend": self._engine.backend,
+            "paused": self._paused,
+            "pipeline_enabled": self._pipeline_enabled,
+            "fps": round(self._fps.fps, 2),
+            "frames": self._fps.total_frames,
+            "spec": self._source.spec,
+        }
+
     def warmup(self) -> None:
         """Compile the current stage's pipeline ahead of the first frame."""
         if self._pipeline_enabled:

@@ -72,18 +72,27 @@ _MAGIC_DIV: dict[int, Tuple[int, int]] = {
 }
 
 
-def _pick_block_h(h: int, preferred: int = 64, max_bh: int = 256) -> int:
-    """Choose a slab height: a multiple of 8 (the uint8 row-DMA granule)
-    dividing ``h`` near ``preferred`` if one exists (no padded rows), else
-    ``preferred`` (rows padded up)."""
-    if h <= preferred:
+#: VMEM working-set budget for auto block-height selection (bytes). The
+#: scoped-stack limit is 16 MB; leave headroom for the double-buffered input
+#: slabs and pipelined output blocks.
+_VMEM_BUDGET = 13_000_000
+
+
+def _pick_block_h(h: int, row_bytes: int, live_arrays: int,
+                  pad_rows: int) -> int:
+    """Choose a slab height (multiple of 8, the uint8 row-DMA granule) such
+    that ``live_arrays`` int32 slab-shaped arrays fit the VMEM budget.
+    Prefers the largest divisor of ``h`` under the cap (no padded rows);
+    falls back to the cap itself (rows padded up)."""
+    rows = _VMEM_BUDGET // max(1, row_bytes * live_arrays)
+    cap = max(8, ((rows - 2 * pad_rows) // 8) * 8)
+    if h <= cap:
         return ((h + 7) // 8) * 8
     best = None
-    for bh in range(8, max_bh + 1, 8):
+    for bh in range(8, cap + 1, 8):
         if h % bh == 0:
-            if best is None or abs(bh - preferred) < abs(best - preferred):
-                best = bh
-    return best if best is not None else preferred
+            best = bh
+    return best if best is not None else cap
 
 
 def _sub(x: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -126,12 +135,14 @@ def _gaussian_rolled(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     return out
 
 
-def _valid_mask_i32(i, shape: Tuple[int, int], bh: int, height: int,
-                    width: int) -> jnp.ndarray:
+def _valid_mask_i32(i, row0, col0, shape: Tuple[int, int], bh: int,
+                    height: int, width: int) -> jnp.ndarray:
     """0/1 int32 mask of slab positions inside the global image. Slab [0,0]
-    sits at global pixel (i*bh - PAD_R, -PAD_C)."""
-    rows = i * bh - PAD_R + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = -PAD_C + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    sits at global pixel (row0 + i*bh - PAD_R, col0 - PAD_C); (row0, col0)
+    is the caller's tile origin within the global image (nonzero when the
+    input is one halo-extended shard of a sharded frame)."""
+    rows = row0 + i * bh - PAD_R + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = col0 - PAD_C + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ok = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
     return ok.astype(jnp.int32)
 
@@ -139,14 +150,16 @@ def _valid_mask_i32(i, shape: Tuple[int, int], bh: int, height: int,
 def _kernel_body(
     lo_ref,
     hi_ref,
+    origin_ref,
     mono_hbm,
     out_ref,
     slab,
     sems,
     *,
     bh: int,
-    height: int,
     width: int,
+    img_h: int,
+    img_w: int,
     kernel_size: int,
     grad_coeff: int,
     norm: str,
@@ -179,9 +192,11 @@ def _kernel_body(
     start_fetch(i % 2, i).wait()
 
     # Whole chain in one slab-shaped i32 coordinate frame; [0,0] sits at
-    # global pixel (i*bh - PAD_R, -PAD_C).
+    # global pixel (origin + (i*bh - PAD_R, -PAD_C)).
     mono = slab[i % 2].astype(jnp.int32)
-    valid = _valid_mask_i32(i, mono.shape, bh, height, width)
+    valid = _valid_mask_i32(
+        i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
+    )
 
     def emit(x_i32: jnp.ndarray) -> None:
         out_ref[:, :] = x_i32[
@@ -287,6 +302,7 @@ def _kernel_body(
         "out_stage",
         "interpret",
         "block_h",
+        "image_size",
     ),
 )
 def feed_forward_to_stage(
@@ -300,32 +316,49 @@ def feed_forward_to_stage(
     out_stage: CannyStage = CannyStage.THRESH,
     interpret: bool = False,
     block_h: Optional[int] = None,
+    origin=None,
+    image_size: Optional[Tuple[int, int]] = None,
 ) -> jnp.ndarray:
     """Run gaussian -> ... -> ``out_stage`` fused in one Pallas kernel.
 
     ``mono`` is the (H, W) uint8 gray plane; returns that stage's (H, W)
     uint8 display buffer. ``out_stage`` must be GAUSSIAN..THRESH (MONO is a
     pointwise XLA op; HYSTER = THRESH + hysteresis_pallas).
+
+    For sharded use, ``mono`` may be one halo-extended tile of a larger
+    frame: ``origin`` is then the (row, col) of mono[0,0] in the global
+    image (traced scalars; may be negative at border tiles) and
+    ``image_size`` the global (H, W) — together they pin the zero-padding
+    semantics to the GLOBAL image border rather than the tile border.
     """
     out_stage = CannyStage(out_stage)
     if out_stage in (CannyStage.MONO, CannyStage.HYSTER):
         raise ValueError("out_stage must be GAUSSIAN, GRADIENT, NMS or THRESH")
     h, w = mono.shape
-    bh = block_h or _pick_block_h(h)
+    gh, gw = image_size if image_size is not None else (h, w)
+    if origin is None:
+        origin_arr = jnp.zeros((2,), jnp.int32)
+    else:
+        origin_arr = jnp.stack(
+            [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
+        )
+    sw = _slab_w(w)
+    # ~16 slab-shaped int32 arrays are live at the NMS peak.
+    bh = block_h or _pick_block_h(h, sw * 4, 16, PAD_R)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
 
     # One cheap XLA pass: pad rows by the slab padding (and up to the slab
     # grid), cols to the 128-lane-aligned slab width, so every slab DMA
     # window is in-bounds and alignment-legal.
-    sw = _slab_w(w)
     mono_p = jnp.pad(mono, ((PAD_R, PAD_R + (hp - h)), (PAD_C, sw - w - PAD_C)))
 
     kern = functools.partial(
         _kernel_body,
         bh=bh,
-        height=h,
         width=w,
+        img_h=gh,
+        img_w=gw,
         kernel_size=kernel_size,
         grad_coeff=grad_coeff,
         norm=norm,
@@ -335,11 +368,11 @@ def feed_forward_to_stage(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # low, high thresholds
+        num_scalar_prefetch=3,  # low, high thresholds; tile origin
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (bh, w), lambda i, lo, hi: (i, 0), memory_space=pltpu.VMEM
+            (bh, w), lambda i, lo, hi, org: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2 * PAD_R, sw), jnp.uint8),
@@ -358,6 +391,7 @@ def feed_forward_to_stage(
     )(
         jnp.asarray(low, jnp.int32).reshape(1),
         jnp.asarray(high, jnp.int32).reshape(1),
+        origin_arr,
         mono_p,
     )
     return out[:h] if hp != h else out

@@ -206,10 +206,11 @@ def hysteresis_pallas(
     much propagation as ~H/30 reference relaunches).
     """
     h, w = thresh.shape
-    bh = block_h or _pick_block_h(h, preferred=192, max_bh=512)
+    wp = ((w + 127) // 128) * 128  # 128-lane DMA alignment
+    # ~6 tile-shaped int32 arrays are live in the saturation loop.
+    bh = block_h or _pick_block_h(h, wp * 4, 6, HALO)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
-    wp = ((w + 127) // 128) * 128  # 128-lane DMA alignment
 
     # Row-pad by HALO (DMA halo legality) + up to the slab grid; col-pad to
     # the 128-lane granule. Padded cells are NO_EDGE, which is absorbing:

@@ -76,6 +76,7 @@ def build_sharded_pipeline(
     mesh: Mesh,
     final_stage: CannyStage = CannyStage.HYSTER,
     hysteresis_halo: Optional[int] = None,
+    backend: str = "xla",
 ) -> Callable:
     """Return a jitted fn(frame, low, high) running the pipeline sharded over
     ``mesh``. ``frame`` is (B, H, W[, C]) uint8 with B % mesh('b') == 0,
@@ -84,7 +85,17 @@ def build_sharded_pipeline(
     ``hysteresis_halo`` rows/cols of edge state are exchanged per convergence
     round (defaults to cfg.hysteresis_inner_steps so cross-shard propagation
     keeps pace with local propagation).
+
+    ``backend='pallas'`` (real TPU meshes) runs each shard's local compute
+    through the Pallas kernels: the fused feed-forward kernel consumes the
+    halo-extended tile with its global origin pinned (so zero-padding
+    applies at the GLOBAL image border), and each hysteresis round saturates
+    the local tile to a fixed point in-VMEM before the halo exchange + psum —
+    maximum propagation per collective round. 'xla' is the portable default
+    (virtual CPU meshes, the driver dry-run).
     """
+    if backend not in ("xla", "pallas"):
+        raise ValueError("backend must be 'xla' or 'pallas'")
     final_stage = CannyStage(final_stage)
     ny = mesh.shape[ROW_AXIS]
     nx = mesh.shape[COL_AXIS]
@@ -127,6 +138,34 @@ def build_sharded_pipeline(
         rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 0)
         cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 1)
         return (rows >= 0) & (rows < cfg.height) & (cols >= 0) & (cols < cfg.width)
+
+    def local_feed_forward_pallas(tile: jnp.ndarray, low, high):
+        """Pallas path: one fused kernel over the halo-extended tile, with
+        the tile's global origin pinning border-zero semantics."""
+        from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+
+        ext = extend2d(tile, halo)
+        mono = xla_ops.rgb2mono(ext)
+        if final_stage == CannyStage.MONO:
+            return _trim(mono, halo, (0, 1))
+        ry = jax.lax.axis_index(ROW_AXIS)
+        rx = jax.lax.axis_index(COL_AXIS)
+        ff_stage = (
+            final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
+        )
+        out = feed_forward_to_stage(
+            mono,
+            low,
+            high,
+            kernel_size=cfg.kernel_size,
+            grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm,
+            parity=cfg.parity,
+            out_stage=ff_stage,
+            origin=(ry * h_loc - halo, rx * w_loc - halo),
+            image_size=(cfg.height, cfg.width),
+        )
+        return _trim(out, halo, (0, 1))
 
     def local_feed_forward(tile: jnp.ndarray, low, high):
         """mono -> ... -> final_stage on a halo-extended tile, masking each
@@ -190,6 +229,43 @@ def build_sharded_pipeline(
         )
         return jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
 
+    def local_hysteresis_pallas(thresh: jnp.ndarray) -> jnp.ndarray:
+        """Pallas path: each global round saturates the local halo-extended
+        tile to its full fixed point in-VMEM (sequential sweep kernels),
+        so every collective round carries the maximum possible propagation.
+        Padded/invalid cells are NO_EDGE, which is absorbing."""
+        from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < cfg.max_hysteresis_iters)
+
+        def body(state):
+            t, _, it = state
+            t_ext = extend2d(t, hh)
+            new_ext = hysteresis_pallas(
+                t_ext, max_iters=cfg.max_hysteresis_iters,
+                remove_candidates=False,
+            )
+            nt = _trim(new_ext, hh, (0, 1))
+            local_changed = jnp.any(nt != t)
+            global_changed = (
+                jax.lax.psum(
+                    local_changed.astype(jnp.int32),
+                    (BATCH_AXIS, ROW_AXIS, COL_AXIS),
+                )
+                > 0
+            )
+            return nt, global_changed, it + 1
+
+        state, _, _ = jax.lax.while_loop(
+            cond, body, (thresh, jnp.bool_(True), jnp.int32(0))
+        )
+        # removeCandidates (cannyEdgeD.cu:379-395).
+        return jnp.where(
+            state == FINAL_EDGE, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE)
+        )
+
     @functools.partial(
         shard_map,
         mesh=mesh,
@@ -198,12 +274,19 @@ def build_sharded_pipeline(
         check_vma=False,
     )
     def sharded(frame, low, high):
+        ff = local_feed_forward_pallas if backend == "pallas" else local_feed_forward
+        hys = local_hysteresis_pallas if backend == "pallas" else local_hysteresis
+
         def per_frame(tile):
-            out = local_feed_forward(tile, low, high)
+            out = ff(tile, low, high)
             if final_stage == CannyStage.HYSTER:
-                out = local_hysteresis(out)
+                out = hys(out)
             return out
 
+        if backend == "pallas":
+            # Pallas kernels use manual DMA grids that don't vectorise under
+            # vmap; iterate the local batch inside the compiled program.
+            return jax.lax.map(per_frame, frame)
         return jax.vmap(per_frame)(frame)
 
     @jax.jit

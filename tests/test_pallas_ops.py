@@ -48,10 +48,13 @@ class TestMagicDivision:
 
 class TestSlabGeometry:
     @pytest.mark.parametrize("h", [8, 64, 480, 720, 1080, 2160, 1079])
-    def test_block_h_divides_or_pads(self, h):
-        bh = _pick_block_h(h)
-        assert bh % 8 == 0
-        assert bh >= 8
+    @pytest.mark.parametrize("w", [640, 1920, 3840, 7680])
+    def test_block_h_fits_budget(self, h, w):
+        sw = _slab_w(w)
+        bh = _pick_block_h(h, sw * 4, 16, PAD_R)
+        assert bh % 8 == 0 and bh >= 8
+        # Working set stays under the scoped-VMEM stack limit.
+        assert (bh + 2 * PAD_R) * sw * 4 * 16 <= 16_000_000
 
     @pytest.mark.parametrize("w", [64, 211, 640, 1280, 1920, 3840])
     def test_slab_w_alignment(self, w):
@@ -152,6 +155,52 @@ out = np.asarray(
 )
 if not np.array_equal(out, ref):
     failures.append(f"pipeline hyster n={(out != ref).sum()}")
+
+# opencv parity domain.
+cfgo = CannyConfig(height=96, width=160, parity="opencv")
+refo = oracle.canny_pipeline(frame, 30, 120, parity="opencv")["hyster"]
+outo = np.asarray(
+    canny_to_stage_pallas(
+        jnp.asarray(frame), jnp.int32(30), jnp.int32(120), cfgo, CannyStage.HYSTER
+    )
+)
+if not np.array_equal(outo, refo):
+    failures.append(f"opencv parity n={(outo != refo).sum()}")
+
+# Origin-pinned tile: an interior window of a larger frame must reproduce
+# the full-image pipeline on its core (the sharded path's contract).
+from cudacam_tpu.ops import numpy_oracle as _o
+
+big = rng.integers(0, 256, (160, 256), dtype=np.uint8)
+blur_b = _o.gaussian_blur(big, 5)
+sxb, syb = _o.sobel_sums(blur_b)
+thr_b = _o.double_threshold(_o.non_max_suppression(sxb, syb), 10, 40)
+halo = 4
+r0, c0, th_, tw_ = 64, 64, 64, 128
+ext = big[r0 - halo : r0 + th_ + halo, c0 - halo : c0 + tw_ + halo]
+out_t = np.asarray(
+    feed_forward_to_stage(
+        jnp.asarray(ext), jnp.int32(10), jnp.int32(40),
+        out_stage=CannyStage.THRESH,
+        origin=(jnp.int32(r0 - halo), jnp.int32(c0 - halo)),
+        image_size=(160, 256),
+    )
+)
+if not np.array_equal(out_t[halo : halo + th_, halo : halo + tw_],
+                      thr_b[r0 : r0 + th_, c0 : c0 + tw_]):
+    failures.append("origin-pinned tile")
+
+# Sharded pipeline, pallas backend, 1x1x1 mesh on the real chip.
+from cudacam_tpu.parallel import build_sharded_pipeline, make_mesh
+from cudacam_tpu.parallel.sharded import shard_frame
+
+mesh = make_mesh(batch=1, rows=1, cols=1, devices=jax.devices()[:1])
+cfg_s = CannyConfig(height=96, width=160)
+run = build_sharded_pipeline(cfg_s, mesh, backend="pallas")
+fr = frame[None]
+out_s = np.asarray(run(shard_frame(jnp.asarray(fr), mesh), jnp.int32(10), jnp.int32(40)))
+if not np.array_equal(out_s[0], ref):
+    failures.append(f"sharded pallas n={(out_s[0] != ref).sum()}")
 
 if failures:
     print("FAIL:" + ";".join(failures))
