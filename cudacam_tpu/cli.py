@@ -105,6 +105,32 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_convert(args: argparse.Namespace) -> int:
+    from cudacam_tpu.io import open_source
+
+    cap = args.frames or None
+    frames = []
+    with open_source(args.src) as src:
+        for i, f in enumerate(src):
+            if cap is not None and i >= cap:
+                break
+            frames.append(f)
+            if cap is None and args.src.startswith("synthetic") and i >= 29:
+                break
+    arr = np.stack(frames)
+    if args.dst.endswith(".rawv"):
+        from cudacam_tpu.native import write_rawv
+
+        write_rawv(args.dst, arr)
+    elif args.dst.endswith(".npy"):
+        np.save(args.dst, arr)
+    else:
+        print("dst must end in .npy or .rawv", file=sys.stderr)
+        return 2
+    print(f"wrote {len(frames)} frames {arr.shape[1:]} to {args.dst}")
+    return 0
+
+
 def cmd_info(args: argparse.Namespace) -> int:
     import jax
 
@@ -217,6 +243,17 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--trace", default=None,
                     help="capture a device profile (XProf/TensorBoard dir)")
     pr.set_defaults(fn=cmd_run)
+
+    pc = sub.add_parser(
+        "convert",
+        help="convert recorded frames between .npy and the native .rawv "
+             "stream format (or grab them from any source)",
+    )
+    pc.add_argument("src", help="input: .npy, .rawv, or any source spec")
+    pc.add_argument("dst", help="output: .npy or .rawv")
+    pc.add_argument("--frames", type=int, default=0,
+                    help="cap frame count (0 = all / source default 30)")
+    pc.set_defaults(fn=cmd_convert)
 
     pi = sub.add_parser("info", help="devices / backends / config surface")
     pi.set_defaults(fn=cmd_info)
