@@ -65,6 +65,13 @@ def main() -> None:
     platform = jax.devices()[0].platform
     cfg = CannyConfig(height=h, width=w)
     engine = CannyEngine(cfg)
+    try:
+        engine.warmup()
+    except Exception as e:  # pragma: no cover - compile-service hiccup
+        # Fall back to the portable XLA backend rather than reporting nothing.
+        print(f"warning: {engine.backend} backend failed to compile ({e}); "
+              "falling back to xla", file=sys.stderr)
+        engine = CannyEngine(CannyConfig(height=h, width=w, backend="xla"))
 
     # Distinct device-resident frames, streamed back-to-back — the
     # reference's own number is per-frame processing time inside a live

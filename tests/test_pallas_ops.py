@@ -202,6 +202,35 @@ out_s = np.asarray(run(shard_frame(jnp.asarray(fr), mesh), jnp.int32(10), jnp.in
 if not np.array_equal(out_s[0], ref):
     failures.append(f"sharded pallas n={(out_s[0] != ref).sum()}")
 
+# Engine production path on the pallas backend: single frame, batched
+# (lax.map), stage selection, runtime threshold change without recompile.
+from cudacam_tpu.engine import CannyEngine
+
+eng = CannyEngine(CannyConfig(height=96, width=160))
+assert eng.backend == "pallas", eng.backend
+single = np.asarray(eng.process(frame))
+if not np.array_equal(single, ref):
+    failures.append("engine single")
+batch = np.stack([frame, frame[::-1].copy()])
+outs = np.asarray(eng.process(batch))
+ref1 = oracle.canny_pipeline(frame[::-1], 10, 40)["hyster"]
+if not (np.array_equal(outs[0], ref) and np.array_equal(outs[1], ref1)):
+    failures.append("engine batched")
+nms_out = np.asarray(eng.process(frame, CannyStage.NMS))
+blur_f = oracle.gaussian_blur(oracle.rgb2mono(frame), 5)
+sxf, syf = oracle.sobel_sums(blur_f)
+if not np.array_equal(nms_out, oracle.non_max_suppression(sxf, syf)):
+    failures.append("engine stage NMS")
+fn = eng._get_to_stage(CannyStage.HYSTER, False)
+n_before = fn._cache_size()
+eng.set_low_threshold(20)
+eng.set_high_threshold(60)
+out2 = np.asarray(eng.process(frame))
+if fn._cache_size() != n_before:
+    failures.append("threshold change recompiled")
+if not np.array_equal(out2, oracle.canny_pipeline(frame, 20, 60)["hyster"]):
+    failures.append("engine thresholds")
+
 if failures:
     print("FAIL:" + ";".join(failures))
     sys.exit(1)

@@ -113,3 +113,19 @@ class TestKernelVariants:
         run = build_sharded_pipeline(cfg, mesh)
         out = np.asarray(run(jnp.asarray(frames), jnp.int32(10), jnp.int32(40)))
         np.testing.assert_array_equal(out, _expected(frames, kernel_size=ks))
+
+    def test_opencv_parity_domain(self, frames):
+        cfg = CannyConfig(height=64, width=96, parity="opencv")
+        mesh = make_mesh(batch=1, rows=4, cols=2)
+        run = build_sharded_pipeline(cfg, mesh)
+        out = np.asarray(run(jnp.asarray(frames), jnp.int32(30), jnp.int32(120)))
+        np.testing.assert_array_equal(
+            out, _expected(frames, low=30, high=120, parity="opencv")
+        )
+
+    def test_l1_norm(self, frames):
+        cfg = CannyConfig(height=64, width=96, norm="l1")
+        mesh = make_mesh(batch=1, rows=2, cols=2, devices=jax.devices()[:4])
+        run = build_sharded_pipeline(cfg, mesh)
+        out = np.asarray(run(jnp.asarray(frames), jnp.int32(10), jnp.int32(40)))
+        np.testing.assert_array_equal(out, _expected(frames, norm="l1"))
