@@ -142,12 +142,13 @@ class CannyApp:
 
     # -- per-frame loop ----------------------------------------------------
 
-    def step(self) -> Optional[object]:
+    def step(self) -> object:
         """One iteration of the run loop (ImguiApp::run body,
-        imguiApp.cpp:502-521): read (unless paused), process (unless
-        disabled), retain output on device, tick the meter. Returns the
-        device output (or the raw frame when the pipeline is off), or None
-        when paused with no frame yet."""
+        imguiApp.cpp:502-521): read the next frame (while paused, the last
+        frame is reused — reading once if none exists yet), process it
+        (unless the pipeline is toggled off, in which case the raw frame
+        passes through), retain the output on device, tick the meter, and
+        return the device output."""
         if not self._paused or self._last_input is None:
             self._last_input = self._source.read()
         frame = self._last_input
@@ -206,10 +207,13 @@ class CannyApp:
         f = self._ring.latest_np()
         return None if f is None else save_png(path, f)
 
-    def record(self, n_frames: int, path: str) -> str:
-        """Process ``n_frames`` and save outputs as one (N, H, W) .npy."""
+    def record(self, n_frames: Optional[int], path: str) -> str:
+        """Process ``n_frames`` (None = until the source ends) and save the
+        outputs as one (N, H, W) .npy."""
         outs: List[np.ndarray] = []
         self.run(n_frames, on_frame=lambda i, o: outs.append(np.asarray(o)))
+        if not outs:
+            raise RuntimeError("no frames recorded (source empty?)")
         arr = np.stack(outs)
         d = os.path.dirname(path)
         if d:

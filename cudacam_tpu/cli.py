@@ -82,8 +82,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         t0 = time.perf_counter()
         with tracer:
             if args.record:
-                app.record(args.frames or 30, args.record)
-                n = args.frames or 30
+                import numpy as _np
+
+                p = app.record(args.frames, args.record)
+                n = int(_np.load(p, mmap_mode="r").shape[0])
             else:
                 n = app.run(args.frames, on_frame=on_frame)
                 import jax
@@ -153,15 +155,12 @@ def cmd_info(args: argparse.Namespace) -> int:
 
 
 def cmd_bench(args: argparse.Namespace) -> int:
-    import importlib.util
-    import os
+    from cudacam_tpu import benchmark
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "bench.py")
-    spec = importlib.util.spec_from_file_location("bench", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.main()
+    if args.full:
+        benchmark.full_table()
+    else:
+        benchmark.main()
     return 0
 
 
@@ -228,8 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="stream frames through the pipeline")
-    pr.add_argument("--source", default="synthetic:720x1280",
-                    help="synthetic[:HxW] | webcam[:IDX] | video:PATH | seq:PATH")
+    pr.add_argument(
+        "--source", default="synthetic:720x1280",
+        help="synthetic[:HxW] | webcam[:IDX] | video:PATH | seq:PATH | "
+             "rawv:PATH (native frame pump; bare *.npy/*.rawv paths work too)",
+    )
     pr.add_argument("--frames", type=int, default=30,
                     help="frame count (0 = until source ends)")
     _add_pipeline_args(pr)
@@ -259,6 +261,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi.set_defaults(fn=cmd_info)
 
     pb = sub.add_parser("bench", help="run the standard benchmark")
+    pb.add_argument("--full", action="store_true",
+                    help="extended table -> BENCH_TABLE.md")
     pb.set_defaults(fn=cmd_bench)
 
     ps = sub.add_parser(

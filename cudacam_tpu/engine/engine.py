@@ -46,8 +46,11 @@ ArrayLike = Union[np.ndarray, jax.Array]
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
-    # Pallas kernels on real TPU (measured faster than the fused-XLA path);
-    # portable XLA everywhere else (CPU tests, interpret-free).
+    # Pallas kernels on real TPU: fastest where kernel cost is visible
+    # (amortized in-program and batched throughput); single synchronous
+    # dispatches sit at the host dispatch floor on either backend, so the
+    # streaming rows of BENCH_TABLE.md bounce within noise of each other.
+    # Portable XLA everywhere else (CPU tests, interpret-free).
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no devices at all
@@ -197,6 +200,7 @@ class CannyEngine:
         mirroring the reference's cudaEvent bracketing, cannyEdgeH.cu:409-430)."""
         if self._stage_step_fns is None:
             cfg = self._cfg
+            disp_coeff = xla_ops._display_coeff(cfg)
             self._stage_step_fns = {
                 "mono": jax.jit(xla_ops.rgb2mono),
                 "gaussian": jax.jit(
@@ -206,11 +210,18 @@ class CannyEngine:
                 "nms": jax.jit(
                     functools.partial(
                         xla_ops.non_max_suppression,
-                        grad_coeff=cfg.grad_coeff,
+                        grad_coeff=disp_coeff,
                         norm=cfg.norm,
                     )
                 ),
-                "thresh": jax.jit(xla_ops.double_threshold),
+                # Threshold from the raw Sobel sums so the configured parity
+                # domain applies (compute_threshold_map), exactly like the
+                # non-profiled path.
+                "thresh": jax.jit(
+                    lambda sx, sy, lo, hi: xla_ops.compute_threshold_map(
+                        sx, sy, lo, hi, cfg
+                    )
+                ),
                 "hyster": jax.jit(
                     functools.partial(
                         xla_ops.hysteresis,
@@ -221,7 +232,7 @@ class CannyEngine:
                 "gradient_display": jax.jit(
                     functools.partial(
                         xla_ops.nms_magnitude_u8,
-                        grad_coeff=cfg.grad_coeff,
+                        grad_coeff=disp_coeff,
                         norm=cfg.norm,
                     )
                 ),
@@ -286,8 +297,8 @@ class CannyEngine:
             return nms
         thr_fn = steps["thresh"]
         if batched:
-            thr_fn = jax.vmap(thr_fn, in_axes=(0, None, None))
-        thresh = timed(CannyStage.THRESH, thr_fn, nms, lo, hi)
+            thr_fn = jax.vmap(thr_fn, in_axes=(0, 0, None, None))
+        thresh = timed(CannyStage.THRESH, thr_fn, sum_x, sum_y, lo, hi)
         if final_stage == CannyStage.THRESH:
             return thresh
         hys_fn = steps["hyster"]

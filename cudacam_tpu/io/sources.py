@@ -59,7 +59,8 @@ class FrameSource(abc.ABC):
 
     def __init__(self) -> None:
         self._running = False
-        self._frame: Optional[np.ndarray] = None
+        self._frame: Optional[np.ndarray] = None  # last frame read
+        self._pending: Optional[np.ndarray] = None  # start() frame, unserved
         self._spec: Optional[Tuple[int, int, int]] = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -72,6 +73,7 @@ class FrameSource(abc.ABC):
         if first is None:
             raise RuntimeError(f"{type(self).__name__}: no first frame")
         self._frame = first
+        self._pending = first
         c = 1 if first.ndim == 2 else first.shape[2]
         self._spec = (first.shape[0], first.shape[1], c)
         self._running = True
@@ -102,13 +104,14 @@ class FrameSource(abc.ABC):
         blank frame (webcam.cpp:74-80)."""
         if not self._running:
             raise RuntimeError("source not started")
-        if self._frame is not None and self._spec is not None:
+        if self._pending is not None:
             # First read() hands out the frame grabbed at start().
-            f, self._frame = self._frame, None
-            return f
-        nxt = self._next()
-        if nxt is None or nxt.size == 0:
-            raise EOFError(f"{type(self).__name__}: stream ended/blank frame")
+            nxt, self._pending = self._pending, None
+        else:
+            nxt = self._next()
+            if nxt is None or nxt.size == 0:
+                raise EOFError(f"{type(self).__name__}: stream ended/blank frame")
+        self._frame = nxt
         return nxt
 
     # -- iteration / context management ------------------------------------
@@ -309,8 +312,8 @@ def open_source(spec: str, **kw) -> FrameSource:
     """Parse a source spec string into a FrameSource — the CLI's way in.
 
     Forms: ``synthetic`` | ``synthetic:HxW`` | ``webcam`` | ``webcam:IDX``
-    | ``video:PATH`` | ``seq:PATH`` | a bare path (video or sequence by
-    extension).
+    | ``video:PATH`` | ``seq:PATH`` | ``rawv:PATH`` | a bare path
+    (``.rawv``/``.npy``/directory/video, dispatched by extension).
     """
     if spec.startswith("synthetic"):
         if ":" in spec:

@@ -93,6 +93,10 @@ struct Pump {
           std::fseek(f, sizeof(Header), SEEK_SET);
           continue;
         }
+        // Publish EOF under the mutex: a consumer between its predicate
+        // check and blocking would otherwise miss this final notification
+        // (lost wakeup) and hang forever.
+        std::unique_lock<std::mutex> lk(mu);
         if (got != 0) error.store(1);  // torn frame
         eof.store(true);
         cv_can_consume.notify_all();

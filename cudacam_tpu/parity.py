@@ -132,6 +132,8 @@ def parity_report(
         except Exception:
             pass
 
+    if not frames:
+        raise ValueError("no frames to compare (check --frames / --source)")
     per_frame = [compare_frame(f, low, high) for f in frames]
     keys = per_frame[0].keys()
     summary = {k: float(np.mean([p[k] for p in per_frame])) for k in keys}

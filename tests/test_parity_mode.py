@@ -63,6 +63,22 @@ class TestOpencvParityOracle:
         assert eng.get_high_threshold() == 2048
 
 
+class TestProfiledParity:
+    def test_profiled_matches_unprofiled_opencv_domain(self):
+        """Profiling mode must apply the configured parity domain (it once
+        hardwired the reference uint8 domain, silently changing results)."""
+        from cudacam_tpu.engine import CannyEngine
+
+        frame = make_scene(48, 64, seed=21)
+        cfg = CannyConfig(height=48, width=64, parity="opencv",
+                          low_threshold=100, high_threshold=400)
+        plain = np.asarray(CannyEngine(cfg).process(frame))
+        profiled = np.asarray(CannyEngine(cfg, profiling=True).process(frame))
+        np.testing.assert_array_equal(profiled, plain)
+        # Thresholds beyond the uint8 cap must still produce edges here.
+        assert (plain == 255).any()
+
+
 class TestParityTool:
     def test_compare_frame_healthy_on_photo_like_scene(self):
         from cudacam_tpu.parity import compare_frame
