@@ -207,11 +207,23 @@ class CannyApp:
         f = self._ring.latest_np()
         return None if f is None else save_png(path, f)
 
-    def record(self, n_frames: Optional[int], path: str) -> str:
+    def record(
+        self,
+        n_frames: Optional[int],
+        path: str,
+        on_frame: Optional[Callable[[int, object], None]] = None,
+    ) -> str:
         """Process ``n_frames`` (None = until the source ends) and save the
-        outputs as one (N, H, W) .npy."""
+        outputs as one (N, H, W) .npy. ``on_frame`` is chained after the
+        recording callback."""
         outs: List[np.ndarray] = []
-        self.run(n_frames, on_frame=lambda i, o: outs.append(np.asarray(o)))
+
+        def cb(i: int, o) -> None:
+            outs.append(np.asarray(o))
+            if on_frame is not None:
+                on_frame(i, o)
+
+        self.run(n_frames, on_frame=cb)
         if not outs:
             raise RuntimeError("no frames recorded (source empty?)")
         arr = np.stack(outs)

@@ -68,12 +68,23 @@ def cmd_run(args: argparse.Namespace) -> int:
     )
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),
                   profiling=args.profile) as app:
+        raw_frames = [] if args.record_input else None
+
         def on_frame(i: int, out) -> None:
+            if raw_frames is not None:
+                raw_frames.append(np.asarray(app._last_input))
             if args.preview != "none" and (i + 1) % args.preview_every == 0:
                 print(app.preview(width=args.preview_width,
                                   color=args.preview == "ansi"))
                 print(f"frame {i + 1}  stage={app.stage.name}  "
                       f"fps={app.fps:.1f}")
+
+        server = None
+        if args.serve is not None:
+            from cudacam_tpu.io.server import PreviewServer
+
+            server = PreviewServer(app, port=args.serve).start()
+            print(f"preview: http://localhost:{server.port}/")
 
         app.warmup()  # compile outside the timed loop
         import contextlib
@@ -84,7 +95,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             if args.record:
                 import numpy as _np
 
-                p = app.record(args.frames, args.record)
+                p = app.record(args.frames, args.record, on_frame=on_frame)
                 n = int(_np.load(p, mmap_mode="r").shape[0])
             else:
                 n = app.run(args.frames, on_frame=on_frame)
@@ -96,6 +107,13 @@ def cmd_run(args: argparse.Namespace) -> int:
         dt = time.perf_counter() - t0
         if args.trace:
             print(f"profile written to {args.trace}")
+        if server is not None:
+            server.stop()
+        if raw_frames:
+            from cudacam_tpu.native import write_rawv
+
+            write_rawv(args.record_input, np.stack(raw_frames))
+            print(f"recorded {len(raw_frames)} input frames to {args.record_input}")
         if args.save:
             app.save_frame(args.save)
             print(f"saved {args.save}")
@@ -244,6 +262,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--record", default=None, help="record outputs to .npy")
     pr.add_argument("--trace", default=None,
                     help="capture a device profile (XProf/TensorBoard dir)")
+    pr.add_argument("--record-input", default=None, metavar="PATH.rawv",
+                    help="also capture the raw input frames as a replayable "
+                         ".rawv stream")
+    pr.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="serve a live MJPEG preview + status page on PORT")
     pr.set_defaults(fn=cmd_run)
 
     pc = sub.add_parser(
