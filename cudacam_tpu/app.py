@@ -64,6 +64,12 @@ class CannyApp:
         self._paused = False
         self._pipeline_enabled = True  # DELETE-key analog (imguiApp.cpp:183)
         self._last_input: Optional[np.ndarray] = None
+        # Host-side publishing: when enabled, the RUN LOOP thread snapshots
+        # every k-th output to host memory, so other threads (the preview
+        # server) never touch the device — concurrent device access from a
+        # second thread contends with the dispatch stream.
+        self._publish_every = 0
+        self._published: Optional[np.ndarray] = None
 
     # -- controls ----------------------------------------------------------
 
@@ -136,9 +142,18 @@ class CannyApp:
         }
 
     def warmup(self) -> None:
-        """Compile the current stage's pipeline ahead of the first frame."""
+        """Compile the current stage's pipeline ahead of the first frame.
+        When host publishing is enabled, also performs one throwaway device
+        readback: on remote-tunnel deployments the *first* device-to-host
+        transfer in a process can take orders of magnitude longer than the
+        rest, and it must not land in the middle of the streaming loop."""
         if self._pipeline_enabled:
             self._engine.warmup(self._stage)
+            if self._publish_every:
+                h, w, c = self._source.spec
+                shape = (h, w, c) if c == 3 else (h, w)
+                np.asarray(self._engine.process(np.zeros(shape, np.uint8),
+                                                self._stage))
 
     # -- per-frame loop ----------------------------------------------------
 
@@ -157,6 +172,11 @@ class CannyApp:
         else:
             out = jax.device_put(frame)
         self._ring.push(out)
+        if (
+            self._publish_every
+            and self._ring.total_pushed % self._publish_every == 0
+        ):
+            self._published = np.asarray(out)
         self._fps.tick()
         return out
 
@@ -179,6 +199,21 @@ class CannyApp:
         return done
 
     # -- readback / export (the only host transfers) -----------------------
+
+    def enable_publishing(self, every: int = 2) -> None:
+        """Snapshot every ``every``-th output to host memory from the run
+        loop (for consumers on other threads, e.g. the preview server)."""
+        self._publish_every = max(1, int(every))
+
+    def published_np(self) -> Optional[np.ndarray]:
+        """Latest host-published frame. When publishing is enabled this
+        NEVER touches the device (safe from any thread); it returns None
+        until the run loop publishes the first frame. With publishing
+        disabled it falls back to a direct readback (caller's thread owns
+        the device)."""
+        if self._publish_every:
+            return self._published
+        return self._ring.latest_np()
 
     def preview(
         self,

@@ -123,12 +123,15 @@ class PreviewServer:
         return self._server.server_address[1]
 
     def _snapshot(self) -> Optional[bytes]:
-        frame = self._app.ring.latest_np()
+        # Never touch the device from this thread: read the run loop's
+        # host-published copy (see CannyApp.enable_publishing).
+        frame = self._app.published_np()
         if frame is None:
             return None
         return _encode_jpeg(frame, self._quality)
 
     def start(self) -> "PreviewServer":
+        self._app.enable_publishing()
         self._thread.start()
         log.info("preview server on http://%s:%d/",
                  self._server.server_address[0], self.port)

@@ -15,8 +15,9 @@ from cudacam_tpu.io.server import PreviewServer, _encode_jpeg
 @pytest.fixture()
 def served_app():
     with CannyApp(SyntheticSource(height=40, width=64, n_frames=50)) as app:
-        app.step()  # one frame in the ring
         server = PreviewServer(app, host="127.0.0.1", port=0, fps=30).start()
+        app.enable_publishing(every=1)
+        app.step()  # one published frame
         try:
             yield app, server
         finally:
