@@ -1,3 +1,4 @@
 from cudacam_tpu.engine.engine import CannyEngine
+from cudacam_tpu.engine.sharded_engine import ShardedCannyEngine
 
-__all__ = ["CannyEngine"]
+__all__ = ["CannyEngine", "ShardedCannyEngine"]
