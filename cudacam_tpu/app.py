@@ -258,7 +258,11 @@ class CannyApp:
             if on_frame is not None:
                 on_frame(i, o)
 
-        self.run(n_frames, on_frame=cb)
+        try:
+            self.run(n_frames, on_frame=cb)
+        except KeyboardInterrupt:
+            # Save what was captured rather than losing the session.
+            log.info("recording interrupted after %d frames", len(outs))
         if not outs:
             raise RuntimeError("no frames recorded (source empty?)")
         arr = np.stack(outs)

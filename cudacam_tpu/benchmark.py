@@ -45,6 +45,7 @@ def main() -> None:
         print(f"warning: {engine.backend} backend failed to compile ({e}); "
               "falling back to xla", file=sys.stderr)
         engine = CannyEngine(CannyConfig(height=h, width=w, backend="xla"))
+        engine.warmup()
 
     # Distinct device-resident frames, streamed back-to-back — the
     # reference's own number is per-frame processing time inside a live
@@ -54,7 +55,6 @@ def main() -> None:
     frames = [
         jax.device_put(make_scene(h, w, seed=s)) for s in range(n_stream)
     ]
-    engine.warmup()
     for f in frames:  # warm every input's dispatch path
         out = engine.process(f)
     jax.block_until_ready(out)

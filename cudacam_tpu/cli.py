@@ -83,37 +83,47 @@ def cmd_run(args: argparse.Namespace) -> int:
         if args.serve is not None:
             from cudacam_tpu.io.server import PreviewServer
 
-            server = PreviewServer(app, port=args.serve).start()
-            print(f"preview: http://localhost:{server.port}/")
+            server = PreviewServer(
+                app, host=args.serve_host, port=args.serve
+            ).start()
+            print(f"preview: http://{args.serve_host}:{server.port}/")
 
         app.warmup()  # compile outside the timed loop
         import contextlib
 
         tracer = app.engine.trace(args.trace) if args.trace else contextlib.nullcontext()
         t0 = time.perf_counter()
-        with tracer:
-            if args.record:
-                import numpy as _np
+        n = 0
+        try:
+            with tracer:
+                if args.record:
+                    import numpy as _np
 
-                p = app.record(args.frames, args.record, on_frame=on_frame)
-                n = int(_np.load(p, mmap_mode="r").shape[0])
-            else:
-                n = app.run(args.frames, on_frame=on_frame)
-                import jax
+                    p = app.record(args.frames, args.record, on_frame=on_frame)
+                    n = int(_np.load(p, mmap_mode="r").shape[0])
+                else:
+                    n = app.run(args.frames, on_frame=on_frame)
+                    import jax
 
-                out = app.ring.latest()
-                if out is not None:
-                    jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+                    out = app.ring.latest()
+                    if out is not None:
+                        jax.block_until_ready(out)
+        except KeyboardInterrupt:
+            # Ctrl-C ends the session but must not lose recordings.
+            print("\ninterrupted", file=sys.stderr)
+            n = n or (len(raw_frames) if raw_frames else 0)
+        finally:
+            dt = time.perf_counter() - t0
+            if server is not None:
+                server.stop()
+            if raw_frames:
+                from cudacam_tpu.native import write_rawv
+
+                write_rawv(args.record_input, np.stack(raw_frames))
+                print(f"recorded {len(raw_frames)} input frames to "
+                      f"{args.record_input}")
         if args.trace:
             print(f"profile written to {args.trace}")
-        if server is not None:
-            server.stop()
-        if raw_frames:
-            from cudacam_tpu.native import write_rawv
-
-            write_rawv(args.record_input, np.stack(raw_frames))
-            print(f"recorded {len(raw_frames)} input frames to {args.record_input}")
         if args.save:
             app.save_frame(args.save)
             print(f"saved {args.save}")
@@ -131,12 +141,16 @@ def cmd_convert(args: argparse.Namespace) -> int:
     cap = args.frames or None
     frames = []
     with open_source(args.src) as src:
-        for i, f in enumerate(src):
-            if cap is not None and i >= cap:
-                break
-            frames.append(f)
-            if cap is None and args.src.startswith("synthetic") and i >= 29:
-                break
+        try:
+            for i, f in enumerate(src):
+                if cap is not None and i >= cap:
+                    break
+                frames.append(f)
+        except KeyboardInterrupt:
+            print(f"\ninterrupted after {len(frames)} frames", file=sys.stderr)
+    if not frames:
+        print("no frames captured", file=sys.stderr)
+        return 1
     arr = np.stack(frames)
     if args.dst.endswith(".rawv"):
         from cudacam_tpu.native import write_rawv
@@ -267,6 +281,9 @@ def build_parser() -> argparse.ArgumentParser:
                          ".rawv stream")
     pr.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve a live MJPEG preview + status page on PORT")
+    pr.add_argument("--serve-host", default="127.0.0.1",
+                    help="preview bind address (default localhost-only; set "
+                         "0.0.0.0 to expose the unauthenticated stream)")
     pr.set_defaults(fn=cmd_run)
 
     pc = sub.add_parser(
@@ -276,8 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("src", help="input: .npy, .rawv, or any source spec")
     pc.add_argument("dst", help="output: .npy or .rawv")
-    pc.add_argument("--frames", type=int, default=0,
-                    help="cap frame count (0 = all / source default 30)")
+    pc.add_argument("--frames", type=int, default=30,
+                    help="frame cap (default 30; 0 = until the source ends — "
+                         "endless sources like webcam then need Ctrl-C)")
     pc.set_defaults(fn=cmd_convert)
 
     pi = sub.add_parser("info", help="devices / backends / config surface")

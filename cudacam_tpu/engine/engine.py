@@ -58,7 +58,44 @@ def _resolve_backend(backend: str) -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
-class CannyEngine:
+class ThresholdControls:
+    """Runtime threshold accessors shared by every engine flavor: clamping
+    identical to the reference setters, which force low <= high
+    (cannyEdgeH.hpp:25-28) with the parity-aware cap, plus a cached pair of
+    device-resident scalars so the hot loop never re-uploads them (a
+    per-frame host->device scalar transfer costs ~0.1 ms over remote links;
+    the reference instead re-passes kernel args each launch,
+    cannyEdgeH.cu:289-291). Requires ``self._cfg``."""
+
+    def _init_thresholds(self, config: CannyConfig) -> None:
+        self._low = config.low_threshold
+        self._high = config.high_threshold
+        self._thresh_dev: Optional[tuple] = None
+
+    def get_low_threshold(self) -> int:
+        return self._low
+
+    def get_high_threshold(self) -> int:
+        return self._high
+
+    def set_low_threshold(self, low: int) -> None:
+        self._low = max(0, min(int(low), self._high))
+        self._thresh_dev = None
+
+    def set_high_threshold(self, high: int) -> None:
+        self._high = min(self._cfg.threshold_cap, max(int(high), self._low))
+        self._thresh_dev = None
+
+    def _thresholds(self) -> tuple:
+        if self._thresh_dev is None:
+            self._thresh_dev = (
+                jax.device_put(jnp.int32(self._low)),
+                jax.device_put(jnp.int32(self._high)),
+            )
+        return self._thresh_dev
+
+
+class CannyEngine(ThresholdControls):
     """Spec-locked, jit-compiled Canny pipeline engine."""
 
     def __init__(
@@ -71,13 +108,7 @@ class CannyEngine:
         self._backend = _resolve_backend(config.backend)
         self._profiling = profiling
         self._timers = timers or TimerManager.get()
-        self._low = config.low_threshold
-        self._high = config.high_threshold
-        # Device-resident threshold scalars, cached so the hot loop never
-        # re-uploads them (a per-frame host->device scalar transfer costs
-        # ~0.1 ms over remote links; the reference instead re-passes kernel
-        # args each launch, cannyEdgeH.cu:289-291).
-        self._thresh_dev: Optional[tuple] = None
+        self._init_thresholds(config)
         # One jit cache entry per (final_stage, batched); thresholds traced.
         self._to_stage_fns: Dict[tuple, Callable] = {}
         self._all_stages_fns: Dict[bool, Callable] = {}
@@ -95,31 +126,6 @@ class CannyEngine:
     @property
     def backend(self) -> str:
         return self._backend
-
-    def get_low_threshold(self) -> int:
-        return self._low
-
-    def get_high_threshold(self) -> int:
-        return self._high
-
-    def set_low_threshold(self, low: int) -> None:
-        """Clamped so low <= high (reference cannyEdgeH.hpp:25-26)."""
-        self._low = max(0, min(int(low), self._high))
-        self._thresh_dev = None
-
-    def set_high_threshold(self, high: int) -> None:
-        """Clamped so high >= low (reference cannyEdgeH.hpp:27-28)."""
-        self._high = min(self._cfg.threshold_cap, max(int(high), self._low))
-        self._thresh_dev = None
-
-    def _thresholds(self) -> tuple:
-        """Cached device scalars for (low, high)."""
-        if self._thresh_dev is None:
-            self._thresh_dev = (
-                jax.device_put(jnp.int32(self._low)),
-                jax.device_put(jnp.int32(self._high)),
-            )
-        return self._thresh_dev
 
     def is_profiling_enabled(self) -> bool:
         return self._profiling
@@ -207,20 +213,32 @@ class CannyEngine:
                     functools.partial(xla_ops.gaussian_blur, kernel_size=cfg.kernel_size)
                 ),
                 "sobel": jax.jit(xla_ops.sobel_sums),
+                # NMS returns (display buffer, keep mask): the keep mask is
+                # the expensive part and is reused by THRESH, so its cost is
+                # attributed once, to the NMS row.
                 "nms": jax.jit(
-                    functools.partial(
-                        xla_ops.non_max_suppression,
-                        grad_coeff=disp_coeff,
-                        norm=cfg.norm,
-                    )
+                    lambda sx, sy: (
+                        lambda keep: (
+                            jnp.where(
+                                keep,
+                                xla_ops.nms_magnitude_u8(
+                                    sx, sy, disp_coeff, cfg.norm
+                                ),
+                                jnp.uint8(0),
+                            ),
+                            keep,
+                        )
+                    )(xla_ops.nms_keep_mask(sx, sy, cfg.norm))
                 ),
-                # Threshold from the raw Sobel sums so the configured parity
-                # domain applies (compute_threshold_map), exactly like the
-                # non-profiled path.
+                # Threshold compare only, in the configured parity domain
+                # (the keep mask comes from the NMS step).
                 "thresh": jax.jit(
-                    lambda sx, sy, lo, hi: xla_ops.compute_threshold_map(
-                        sx, sy, lo, hi, cfg
-                    )
+                    (lambda nms, sx, sy, keep, lo, hi:
+                     xla_ops.double_threshold(nms, lo, hi))
+                    if cfg.parity == "reference"
+                    else (lambda nms, sx, sy, keep, lo, hi:
+                          xla_ops.double_threshold_opencv(
+                              sx, sy, keep, lo, hi, cfg.norm))
                 ),
                 "hyster": jax.jit(
                     functools.partial(
@@ -287,7 +305,7 @@ class CannyEngine:
             jax.block_until_ready((sum_x, sum_y))
         if final_stage == CannyStage.GRADIENT:
             return run(steps["gradient_display"])(sum_x, sum_y)
-        nms = timed(
+        nms, keep = timed(
             CannyStage.NMS,
             (jax.vmap(steps["nms"]) if batched else steps["nms"]),
             sum_x,
@@ -297,8 +315,8 @@ class CannyEngine:
             return nms
         thr_fn = steps["thresh"]
         if batched:
-            thr_fn = jax.vmap(thr_fn, in_axes=(0, 0, None, None))
-        thresh = timed(CannyStage.THRESH, thr_fn, sum_x, sum_y, lo, hi)
+            thr_fn = jax.vmap(thr_fn, in_axes=(0, 0, 0, 0, None, None))
+        thresh = timed(CannyStage.THRESH, thr_fn, nms, sum_x, sum_y, keep, lo, hi)
         if final_stage == CannyStage.THRESH:
             return thresh
         hys_fn = steps["hyster"]

@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from cudacam_tpu.config import CannyConfig
+from cudacam_tpu.engine.engine import ThresholdControls
 from cudacam_tpu.parallel.mesh import BATCH_AXIS, make_mesh
 from cudacam_tpu.parallel.sharded import build_sharded_pipeline, shard_frame
 from cudacam_tpu.stages import CannyStage
@@ -32,7 +33,7 @@ log = get_logger("sharded_engine")
 ArrayLike = Union[np.ndarray, jax.Array]
 
 
-class ShardedCannyEngine:
+class ShardedCannyEngine(ThresholdControls):
     def __init__(
         self,
         config: CannyConfig,
@@ -47,9 +48,7 @@ class ShardedCannyEngine:
             backend = "pallas" if platform == "tpu" else "xla"
         self._backend = backend
         self._hh = hysteresis_halo
-        self._low = config.low_threshold
-        self._high = config.high_threshold
-        self._thresh_dev = None
+        self._init_thresholds(config)
         self._fns: Dict[CannyStage, object] = {}
         log.info(
             "sharded engine: mesh=%s backend=%s frame=%dx%d",
@@ -69,28 +68,6 @@ class ShardedCannyEngine:
     @property
     def backend(self) -> str:
         return self._backend
-
-    def get_low_threshold(self) -> int:
-        return self._low
-
-    def get_high_threshold(self) -> int:
-        return self._high
-
-    def set_low_threshold(self, low: int) -> None:
-        self._low = max(0, min(int(low), self._high))
-        self._thresh_dev = None
-
-    def set_high_threshold(self, high: int) -> None:
-        self._high = min(self._cfg.threshold_cap, max(int(high), self._low))
-        self._thresh_dev = None
-
-    def _thresholds(self):
-        if self._thresh_dev is None:
-            self._thresh_dev = (
-                jax.device_put(jnp.int32(self._low)),
-                jax.device_put(jnp.int32(self._high)),
-            )
-        return self._thresh_dev
 
     # -- execution ----------------------------------------------------------
 

@@ -53,8 +53,10 @@ def _encode_jpeg(frame: np.ndarray, quality: int = 85) -> bytes:
 class PreviewServer:
     """Serves the newest ring-buffer frame; runs on a daemon thread."""
 
-    def __init__(self, app, host: str = "0.0.0.0", port: int = 8080,
+    def __init__(self, app, host: str = "127.0.0.1", port: int = 8080,
                  fps: float = 15.0, quality: int = 85) -> None:
+        # Default bind is localhost-only: the stream has no authentication,
+        # and a webcam feed must not silently become network-visible.
         self._app = app
         self._fps = fps
         self._quality = quality
@@ -83,6 +85,13 @@ class PreviewServer:
                         self._send(404, "text/plain", b"not found")
                 except (BrokenPipeError, ConnectionResetError):
                     pass
+                except Exception as e:  # surface as HTTP 500, keep serving
+                    log.warning("request %s failed: %s", self.path, e)
+                    try:
+                        self._send(500, "text/plain",
+                                   f"error: {e}".encode())
+                    except Exception:
+                        pass
 
             def _send(self, code, ctype, body):
                 self.send_response(code)
