@@ -157,14 +157,17 @@ def full_table() -> None:
         ms = (time.perf_counter() - t0) * 1e3 / (passes * b)
         add(f"1080p batched x{b} ms/frame [{eng.backend}]", ms)
 
-    # 4K mega-frame.
-    h4, w4 = 2160, 3840
-    cfg4 = CannyConfig(height=h4, width=w4)
-    eng4 = CannyEngine(cfg4)
-    f4 = [jax.device_put(make_scene(h4, w4, seed=s)) for s in range(4)]
-    eng4.warmup()
-    add("4K (2160x3840) stream ms/frame", _stream_ms(eng4, f4, passes, jax),
-        "4.0x the baseline's pixel count")
+    # Mega-frames (the BASELINE.json north-star axis: scaling frame size).
+    for (hm, wm, label, note) in (
+        (2160, 3840, "4K (2160x3840)", "4x the baseline's pixel count"),
+        (4320, 7680, "8K (4320x7680)", "16x the baseline's pixel count"),
+    ):
+        cfgm = CannyConfig(height=hm, width=wm)
+        engm = CannyEngine(cfgm)
+        fm = [jax.device_put(make_scene(hm, wm, seed=s)) for s in range(2)]
+        engm.warmup()
+        add(f"{label} stream ms/frame",
+            _stream_ms(engm, fm, max(4, passes // 3), jax), note)
 
     lines = [
         "# Benchmark table",
