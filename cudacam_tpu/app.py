@@ -196,6 +196,9 @@ class CannyApp:
                 done += 1
         except EOFError:
             log.info("source ended after %d frames", done)
+        except KeyboardInterrupt:
+            # Preserve the count for the caller's summary/recordings.
+            log.info("interrupted after %d frames", done)
         return done
 
     # -- readback / export (the only host transfers) -----------------------
@@ -266,6 +269,8 @@ class CannyApp:
         if not outs:
             raise RuntimeError("no frames recorded (source empty?)")
         arr = np.stack(outs)
+        if not path.endswith(".npy"):
+            path += ".npy"  # np.save appends it; return the real file path
         d = os.path.dirname(path)
         if d:
             os.makedirs(d, exist_ok=True)

@@ -95,6 +95,18 @@ class CannyConfig:
             raise ValueError("parity must be 'reference' or 'opencv'")
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
+        cap = self.threshold_cap
+        if not (0 <= self.low_threshold <= cap) or not (
+            0 <= self.high_threshold <= cap
+        ):
+            raise ValueError(
+                f"thresholds must be in [0, {cap}] for parity='{self.parity}'"
+            )
+        if self.low_threshold > self.high_threshold:
+            raise ValueError(
+                f"low_threshold ({self.low_threshold}) must be <= "
+                f"high_threshold ({self.high_threshold})"
+            )
 
     @property
     def threshold_cap(self) -> int:
@@ -102,14 +114,6 @@ class CannyConfig:
         255 for the reference's uint8 magnitudes; the raw Sobel magnitude
         ceiling (1443 L2 / 2040 L1, rounded up) for 'opencv' parity."""
         return 255 if self.parity == "reference" else 2048
-
-    # Threshold clamping identical to the reference setters, which force
-    # low <= high (cannyEdgeH.hpp:25-28).
-    def clamp_low(self, low: int) -> int:
-        return max(0, min(int(low), self.high_threshold))
-
-    def clamp_high(self, high: int) -> int:
-        return min(self.threshold_cap, max(int(high), self.low_threshold))
 
     def with_thresholds(self, low: int, high: int) -> "CannyConfig":
         cap = self.threshold_cap

@@ -339,6 +339,10 @@ class CannyEngine(ThresholdControls):
             shape = (batch,) + shape
         dummy = jnp.zeros(shape, jnp.uint8)
         jax.block_until_ready(self.process(dummy, final_stage))
+        if self._profiling:
+            # Drop the warmup samples: they time trace+compile, not kernels,
+            # and would dominate the per-stage averages.
+            self._timers.reset()
 
     def profiling_table(self) -> str:
         return self._timers.table()

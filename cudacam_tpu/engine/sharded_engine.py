@@ -44,8 +44,12 @@ class ShardedCannyEngine(ThresholdControls):
         self._cfg = config
         self._mesh = mesh if mesh is not None else make_mesh()
         if backend is None:
+            backend = config.backend
+        if backend == "auto":
             platform = jax.devices()[0].platform
             backend = "pallas" if platform == "tpu" else "xla"
+        if backend not in ("xla", "pallas"):
+            raise ValueError("backend must be 'auto', 'xla' or 'pallas'")
         self._backend = backend
         self._hh = hysteresis_halo
         self._init_thresholds(config)

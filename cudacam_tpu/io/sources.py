@@ -274,7 +274,12 @@ class SequenceSource(FrameSource):
             return np.load(p)
         import cv2
 
-        return cv2.imread(p)
+        img = cv2.imread(p)
+        if img is None:
+            # A corrupt frame is an error, not a silent end-of-stream
+            # (the blank-frame contract, webcam.cpp:74-80).
+            raise IOError(f"unreadable frame {p}")
+        return img
 
 
 class RawvSource(FrameSource):

@@ -79,6 +79,7 @@ struct Pump {
   }
 
   void produce_loop() {
+    bool just_looped = false;
     while (running.load()) {
       uint8_t* slot;
       {
@@ -89,8 +90,12 @@ struct Pump {
       }
       size_t got = std::fread(slot, 1, frame_bytes, f);
       if (got != frame_bytes) {
-        if (loop && got == 0 && std::feof(f)) {
+        // A loop restart that immediately hits EOF again means the stream
+        // holds zero complete frames (header-only/truncated file): report
+        // EOF instead of busy-spinning on the seek.
+        if (loop && got == 0 && std::feof(f) && !just_looped) {
           std::fseek(f, sizeof(Header), SEEK_SET);
+          just_looped = true;
           continue;
         }
         // Publish EOF under the mutex: a consumer between its predicate
@@ -102,6 +107,7 @@ struct Pump {
         cv_can_consume.notify_all();
         return;
       }
+      just_looped = false;
       {
         std::unique_lock<std::mutex> lk(mu);
         head = (head + 1) % n_slots;

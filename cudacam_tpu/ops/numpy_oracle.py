@@ -193,34 +193,10 @@ def non_max_suppression(
     """NMS (reference cannyEdgeD.cu:201-270), fully exact.
 
     Keeps a pixel iff both directional neighbors q, r satisfy
-    q <= g and r <= g (ties kept, cannyEdgeD.cu:267). Comparisons are done
-    on exact squared magnitudes (L2) / scaled absolute sums (L1), which is
-    equivalent to comparing the float magnitudes since all are >= 0 and the
-    map x -> x^2 is monotone. Out-of-image neighbors are 0 (zero padding).
+    q <= g and r <= g (ties kept, cannyEdgeD.cu:267) — the decision lives in
+    nms_keep_mask; this applies the uint8 display magnitude to it.
     """
-    if norm == "l2":
-        g = sum_x * sum_x + sum_y * sum_y  # exact comparable magnitude
-    else:
-        g = np.abs(sum_x) + np.abs(sum_y)
-
-    h, w = g.shape
-    gp = np.pad(g, 1)  # zero padding, matching the reference tile fill
-
-    def shift(dy: int, dx: int) -> np.ndarray:
-        return gp[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
-
-    sector = _sector_bins(sum_x, sum_y)
-    # (q, r) neighbor offsets per sector, from cannyEdgeD.cu:245-264
-    # (shared-mem index ty+2 == row+1, ty == row-1).
-    q = np.choose(
-        sector,
-        [shift(1, 0), shift(1, -1), shift(0, 1), shift(-1, -1)],
-    )
-    r = np.choose(
-        sector,
-        [shift(-1, 0), shift(-1, 1), shift(0, -1), shift(1, 1)],
-    )
-    keep = (q <= g) & (r <= g)
+    keep = nms_keep_mask(sum_x, sum_y, norm)
     mag = nms_magnitude_u8(sum_x, sum_y, grad_coeff=grad_coeff, norm=norm)
     return np.where(keep, mag, np.uint8(0)).astype(np.uint8)
 

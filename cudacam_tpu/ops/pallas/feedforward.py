@@ -281,9 +281,12 @@ def _kernel_body(
     else:
         # 'opencv' parity: threshold raw Sobel magnitudes exactly —
         # sqrt(m) > t <=> m > t*t (g already holds m, or the L1 sum).
+        # Clamp to the 2048 domain cap so squaring can't overflow int32.
         nms = keep * g
-        lo_c = lo * lo if norm == "l2" else lo
-        hi_c = hi * hi if norm == "l2" else hi
+        lo8 = jnp.clip(lo, 0, 2048)
+        hi8 = jnp.clip(hi, 0, 2048)
+        lo_c = lo8 * lo8 if norm == "l2" else lo8
+        hi_c = hi8 * hi8 if norm == "l2" else hi8
     out = jnp.where(
         nms > hi_c,
         jnp.int32(FINAL_EDGE),

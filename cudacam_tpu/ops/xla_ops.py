@@ -186,8 +186,10 @@ def double_threshold_opencv(
     compares against raw Sobel magnitudes, so cv2.Canny threshold values
     carry over 1:1. Exact: sqrt(m) > t <=> m > t*t for integer t (see
     oracle.double_threshold_opencv)."""
-    low = low.astype(jnp.int32)
-    high = high.astype(jnp.int32)
+    # Clamp to the domain cap before squaring: arbitrary traced thresholds
+    # must not overflow int32 (2048^2 fits; see CannyConfig.threshold_cap).
+    low = jnp.clip(low.astype(jnp.int32), 0, 2048)
+    high = jnp.clip(high.astype(jnp.int32), 0, 2048)
     if norm == "l2":
         m = sum_x * sum_x + sum_y * sum_y
         lo_c, hi_c = low * low, high * high
