@@ -142,6 +142,38 @@ def full_table() -> None:
         ms = (time.perf_counter() - t0) * 1e3 / (passes * len(frames))
         add(f"1080p to stage {stage.name:8s} [{eng.backend}]", ms)
 
+    # Config 1: VGA grayscale frame (the reference's minimal workload).
+    cfg_vga = CannyConfig(height=480, width=640, channels=1)
+    eng_vga = CannyEngine(cfg_vga)
+    fv = [jax.device_put(make_scene(480, 640, seed=s)[..., 0].copy())
+          for s in range(8)]
+    eng_vga.warmup()
+    add("VGA (480x640) grayscale stream ms/frame",
+        _stream_ms(eng_vga, fv, passes, jax))
+
+    # Config 2: every intermediary stage buffer kept (process_all).
+    eng_all = CannyEngine(cfg)
+    frames_iter = frames[:4]
+    for f in frames_iter:
+        out = eng_all.process_all(f)
+    jax.block_until_ready(out["hyster"])
+    t0 = time.perf_counter()
+    for _ in range(passes):
+        for f in frames_iter:
+            out = eng_all.process_all(f)
+    jax.block_until_ready(out["hyster"])
+    add("1080p all-stage outputs ms/frame",
+        (time.perf_counter() - t0) * 1e3 / (passes * len(frames_iter)),
+        "keeps every display buffer (README.md:22 analog)")
+
+    # Config 3: kernel-size / norm variants.
+    for ks, norm in ((3, "l2"), (7, "l2"), (5, "l1")):
+        cfgv = CannyConfig(height=h, width=w, kernel_size=ks, norm=norm)
+        engv = CannyEngine(cfgv)
+        engv.warmup()
+        add(f"1080p ks={ks} norm={norm} stream ms/frame",
+            _stream_ms(engv, frames[:4], max(4, passes // 2), jax))
+
     # Batched multi-camera streams (config 4).
     for b in (4, 8):
         batch = jax.device_put(
