@@ -70,6 +70,9 @@ class CannyApp:
         # second thread contends with the dispatch stream.
         self._publish_every = 0
         self._published: Optional[np.ndarray] = None
+        self._published_raw: Optional[np.ndarray] = None
+        #: Display composition mode for preview/save/serve (io.compose.MODES).
+        self.display_mode = "edges"
 
     # -- controls ----------------------------------------------------------
 
@@ -177,6 +180,7 @@ class CannyApp:
             and self._ring.total_pushed % self._publish_every == 0
         ):
             self._published = np.asarray(out)
+            self._published_raw = frame  # already host-side
         self._fps.tick()
         return out
 
@@ -208,15 +212,18 @@ class CannyApp:
         loop (for consumers on other threads, e.g. the preview server)."""
         self._publish_every = max(1, int(every))
 
-    def published_np(self) -> Optional[np.ndarray]:
-        """Latest host-published frame. When publishing is enabled this
-        NEVER touches the device (safe from any thread); it returns None
-        until the run loop publishes the first frame. With publishing
-        disabled it falls back to a direct readback (caller's thread owns
-        the device)."""
+    def published_np(self, mode: Optional[str] = None) -> Optional[np.ndarray]:
+        """Latest host-published frame, composed per ``mode`` (defaults to
+        ``self.display_mode``). When publishing is enabled this NEVER
+        touches the device (safe from any thread); it returns None until the
+        run loop publishes the first frame. With publishing disabled it
+        falls back to a direct readback (caller's thread owns the device)."""
+        from cudacam_tpu.io.compose import compose
+
+        mode = mode or self.display_mode
         if self._publish_every:
-            return self._published
-        return self._ring.latest_np()
+            return compose(self._published_raw, self._published, mode)
+        return compose(self._last_input, self._ring.latest_np(), mode)
 
     def preview(
         self,
@@ -224,12 +231,17 @@ class CannyApp:
         color: bool = True,
         zoom: float = 1.0,
         center: Optional[tuple] = None,
+        mode: Optional[str] = None,
     ) -> str:
-        """Terminal rendering of the newest output. ``zoom`` > 1 crops to a
-        1/zoom-sized window around ``center`` (fractions of the frame,
-        default middle) — the reference's mouse-wheel zoom tooltip, 2-6x
-        (imguiApp.cpp:168-179, 452-474)."""
-        f = self._ring.latest_np()
+        """Terminal rendering of the newest output, composed per ``mode``
+        (edges/raw/split/overlay; defaults to ``self.display_mode``).
+        ``zoom`` > 1 crops to a 1/zoom-sized window around ``center``
+        (fractions of the frame, default middle) — the reference's
+        mouse-wheel zoom tooltip, 2-6x (imguiApp.cpp:168-179, 452-474)."""
+        from cudacam_tpu.io.compose import compose
+
+        f = compose(self._last_input, self._ring.latest_np(),
+                    mode or self.display_mode)
         if f is None:
             return ""
         if zoom > 1.0:
@@ -241,8 +253,11 @@ class CannyApp:
             f = f[y0 : y0 + zh, x0 : x0 + zw]
         return ascii_preview(f, width=width, color=color)
 
-    def save_frame(self, path: str) -> Optional[str]:
-        f = self._ring.latest_np()
+    def save_frame(self, path: str, mode: Optional[str] = None) -> Optional[str]:
+        from cudacam_tpu.io.compose import compose
+
+        f = compose(self._last_input, self._ring.latest_np(),
+                    mode or self.display_mode)
         return None if f is None else save_png(path, f)
 
     def record(
@@ -250,10 +265,16 @@ class CannyApp:
         n_frames: Optional[int],
         path: str,
         on_frame: Optional[Callable[[int, object], None]] = None,
+        fps: float = 30.0,
     ) -> str:
         """Process ``n_frames`` (None = until the source ends) and save the
-        outputs as one (N, H, W) .npy. ``on_frame`` is chained after the
+        outputs: raw edge maps as one (N, H, W) .npy, or — when ``path``
+        ends in .mp4/.avi — an encoded video of the composed display frames
+        (``self.display_mode``). ``on_frame`` is chained after the
         recording callback."""
+        video = path.endswith((".mp4", ".avi"))
+        if video:
+            return self._record_video(n_frames, path, on_frame, fps)
         outs: List[np.ndarray] = []
 
         def cb(i: int, o) -> None:
@@ -275,6 +296,43 @@ class CannyApp:
         if d:
             os.makedirs(d, exist_ok=True)
         np.save(path, arr)
+        return path
+
+    def _record_video(self, n_frames, path, on_frame, fps) -> str:
+        import cv2
+
+        from cudacam_tpu.io.compose import compose
+
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        fourcc = cv2.VideoWriter_fourcc(
+            *("mp4v" if path.endswith(".mp4") else "MJPG")
+        )
+        writer = [None]
+        count = [0]
+
+        def cb(i: int, o) -> None:
+            frame = compose(self._last_input, np.asarray(o), self.display_mode)
+            if writer[0] is None:
+                h, w = frame.shape[:2]
+                writer[0] = cv2.VideoWriter(path, fourcc, fps, (w, h))
+                if not writer[0].isOpened():
+                    raise IOError(f"cannot open video writer for {path}")
+            writer[0].write(np.ascontiguousarray(frame))
+            count[0] += 1
+            if on_frame is not None:
+                on_frame(i, o)
+
+        try:
+            self.run(n_frames, on_frame=cb)
+        except KeyboardInterrupt:
+            log.info("video recording interrupted after %d frames", count[0])
+        finally:
+            if writer[0] is not None:
+                writer[0].release()
+        if count[0] == 0:
+            raise RuntimeError("no frames recorded (source empty?)")
         return path
 
     def close(self) -> None:

@@ -68,6 +68,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     )
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),
                   profiling=args.profile) as app:
+        app.display_mode = args.display
         raw_frames = [] if args.record_input else None
 
         def on_frame(i: int, out) -> None:
@@ -97,10 +98,13 @@ def cmd_run(args: argparse.Namespace) -> int:
         try:
             with tracer:
                 if args.record:
-                    import numpy as _np
-
                     p = app.record(args.frames, args.record, on_frame=on_frame)
-                    n = int(_np.load(p, mmap_mode="r").shape[0])
+                    if p.endswith(".npy"):
+                        import numpy as _np
+
+                        n = int(_np.load(p, mmap_mode="r").shape[0])
+                    else:  # video: count via the meter
+                        n = app.status()["frames"]
                 else:
                     n = app.run(args.frames, on_frame=on_frame)
                     import jax
@@ -269,6 +273,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipeline_args(pr)
     pr.add_argument("--profile", action="store_true",
                     help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--display", default="edges",
+                    choices=("edges", "raw", "split", "overlay"),
+                    help="composition for preview/save/serve/video-record")
     pr.add_argument("--preview", default="none", choices=("none", "ascii", "ansi"))
     pr.add_argument("--preview-every", type=int, default=10)
     pr.add_argument("--preview-width", type=int, default=96)

@@ -32,10 +32,18 @@ log = get_logger("server")
 _PAGE = b"""<!doctype html>
 <html><head><title>cudacam_tpu</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
-img{max-width:96vw;border:1px solid #444}pre{color:#8c8}</style></head>
-<body><h3>cudacam_tpu live</h3><img src="/stream.mjpg">
+img{max-width:96vw;border:1px solid #444}pre{color:#8c8}
+a{color:#6af;margin:0 6px}</style></head>
+<body><h3>cudacam_tpu live</h3>
+<div>
+<a href="#" onclick="m('edges')">edges</a><a href="#" onclick="m('raw')">raw</a>
+<a href="#" onclick="m('split')">split</a><a href="#" onclick="m('overlay')">overlay</a>
+</div>
+<img id="v" src="/stream.mjpg">
 <pre id="s"></pre>
-<script>setInterval(async()=>{const r=await fetch('/status');
+<script>
+function m(x){document.getElementById('v').src='/stream.mjpg?mode='+x}
+setInterval(async()=>{const r=await fetch('/status');
 document.getElementById('s').textContent=JSON.stringify(await r.json(),null,1)},1000)
 </script></body></html>
 """
@@ -68,19 +76,24 @@ class PreviewServer:
 
             def do_GET(self):
                 try:
-                    if self.path in ("/", "/index.html"):
+                    route, _, query = self.path.partition("?")
+                    mode = None
+                    for kv in query.split("&"):
+                        if kv.startswith("mode="):
+                            mode = kv[5:]
+                    if route in ("/", "/index.html"):
                         self._send(200, "text/html", _PAGE)
-                    elif self.path == "/status":
+                    elif route == "/status":
                         body = json.dumps(outer._app.status()).encode()
                         self._send(200, "application/json", body)
-                    elif self.path == "/frame.jpg":
-                        jpg = outer._snapshot()
+                    elif route == "/frame.jpg":
+                        jpg = outer._snapshot(mode)
                         if jpg is None:
                             self._send(503, "text/plain", b"no frame yet")
                         else:
                             self._send(200, "image/jpeg", jpg)
-                    elif self.path == "/stream.mjpg":
-                        self._stream()
+                    elif route == "/stream.mjpg":
+                        self._stream(mode)
                     else:
                         self._send(404, "text/plain", b"not found")
                 except (BrokenPipeError, ConnectionResetError):
@@ -100,7 +113,7 @@ class PreviewServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def _stream(self):
+            def _stream(self, mode=None):
                 self.send_response(200)
                 self.send_header(
                     "Content-Type",
@@ -109,7 +122,7 @@ class PreviewServer:
                 self.end_headers()
                 period = 1.0 / max(0.1, outer._fps)
                 while not outer._stopped.is_set():
-                    jpg = outer._snapshot()
+                    jpg = outer._snapshot(mode)
                     if jpg is not None:
                         self.wfile.write(b"--frame\r\n")
                         self.wfile.write(b"Content-Type: image/jpeg\r\n")
@@ -131,10 +144,10 @@ class PreviewServer:
     def port(self) -> int:
         return self._server.server_address[1]
 
-    def _snapshot(self) -> Optional[bytes]:
+    def _snapshot(self, mode: Optional[str] = None) -> Optional[bytes]:
         # Never touch the device from this thread: read the run loop's
         # host-published copy (see CannyApp.enable_publishing).
-        frame = self._app.published_np()
+        frame = self._app.published_np(mode)
         if frame is None:
             return None
         return _encode_jpeg(frame, self._quality)
