@@ -64,6 +64,10 @@ class CannyApp:
         self._paused = False
         self._pipeline_enabled = True  # DELETE-key analog (imguiApp.cpp:183)
         self._last_input: Optional[np.ndarray] = None
+        #: Frame pacing cap (the reference's vsync lock, ~60 Hz,
+        #: imguiApp.cpp:42,208). None = unpaced (max throughput).
+        self.max_fps: Optional[float] = None
+        self._next_deadline = 0.0
         # Host-side publishing: when enabled, the RUN LOOP thread snapshots
         # every k-th output to host memory, so other threads (the preview
         # server) never touch the device — concurrent device access from a
@@ -142,6 +146,13 @@ class CannyApp:
             "fps": round(self._fps.fps, 2),
             "frames": self._fps.total_frames,
             "spec": self._source.spec,
+            "display_mode": self.display_mode,
+            "max_fps": self.max_fps,
+            "profiling": (
+                self._engine.profiling_table()
+                if self._engine.is_profiling_enabled()
+                else None
+            ),
         }
 
     def warmup(self) -> None:
@@ -167,6 +178,14 @@ class CannyApp:
         (unless the pipeline is toggled off, in which case the raw frame
         passes through), retain the output on device, tick the meter, and
         return the device output."""
+        if self.max_fps:
+            now = time.perf_counter()
+            if now < self._next_deadline:
+                time.sleep(self._next_deadline - now)
+            self._next_deadline = (
+                max(self._next_deadline, now - 1.0 / self.max_fps)
+                + 1.0 / self.max_fps
+            )
         if not self._paused or self._last_input is None:
             self._last_input = self._source.read()
         frame = self._last_input

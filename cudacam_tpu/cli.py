@@ -69,6 +69,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),
                   profiling=args.profile) as app:
         app.display_mode = args.display
+        app.max_fps = args.max_fps
         raw_frames = [] if args.record_input else None
 
         def on_frame(i: int, out) -> None:
@@ -273,6 +274,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipeline_args(pr)
     pr.add_argument("--profile", action="store_true",
                     help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--max-fps", type=float, default=None,
+                    help="pace the loop to at most this rate (the reference "
+                         "is vsync-locked ~60; default unpaced)")
     pr.add_argument("--display", default="edges",
                     choices=("edges", "raw", "split", "overlay"),
                     help="composition for preview/save/serve/video-record")

@@ -262,3 +262,25 @@ class TestCli:
         info = json.loads(capsys.readouterr().out)
         assert info["stages"][-1] == "HYSTER"
         assert sorted(info["kernel_sizes"]) == [3, 5, 7]
+
+
+class TestPacing:
+    def test_max_fps_caps_loop_rate(self):
+        import time as _time
+
+        src = SyntheticSource(height=16, width=16, n_frames=100)
+        with CannyApp(src) as app:
+            app.warmup()
+            app.max_fps = 50.0
+            t0 = _time.perf_counter()
+            app.run(10)
+            dt = _time.perf_counter() - t0
+            # 10 frames at <=50 fps takes >= ~0.18 s (first frame unpaced).
+            assert dt >= 0.15
+            assert app.status()["max_fps"] == 50.0
+
+    def test_unpaced_by_default(self):
+        src = SyntheticSource(height=16, width=16, n_frames=10)
+        with CannyApp(src) as app:
+            assert app.max_fps is None
+            assert app.status()["profiling"] is None
