@@ -318,8 +318,28 @@ def open_source(spec: str, **kw) -> FrameSource:
 
     Forms: ``synthetic`` | ``synthetic:HxW`` | ``webcam`` | ``webcam:IDX``
     | ``video:PATH`` | ``seq:PATH`` | ``rawv:PATH`` | a bare path
-    (``.rawv``/``.npy``/directory/video, dispatched by extension).
+    (``.rawv``/``.npy``/directory/video, dispatched by extension) |
+    ``multi:<spec>,<spec>,...`` or ``multi:N*<spec>`` (batched multi-camera;
+    children must share a frame spec).
     """
+    if spec.startswith("multi:"):
+        from cudacam_tpu.io.multi import BatchSource
+
+        body = spec.split(":", 1)[1]
+        if "*" in body.split(",")[0] and "," not in body:
+            n_str, child = body.split("*", 1)
+            children_specs = [child] * int(n_str)
+        else:
+            children_specs = [s for s in body.split(",") if s]
+        # Distinct seeds for synthetic children so the cameras differ.
+        children = []
+        for i, cs in enumerate(children_specs):
+            child_kw = dict(kw)
+            src = open_source(cs, **child_kw)
+            if isinstance(src, SyntheticSource):
+                src._seed = src._seed + i
+            children.append(src)
+        return BatchSource(children)
     if spec.startswith("synthetic"):
         if ":" in spec:
             dims = spec.split(":", 1)[1]
