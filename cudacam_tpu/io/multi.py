@@ -47,9 +47,7 @@ class BatchSource(FrameSource):
         for s in self._children:
             s.stop()
 
-    def start(self) -> None:
-        """The spec contract stays per-frame: the base start() derives it
-        from the stacked (B, H, W[, C]) batch, so restore the per-frame spec
-        from a child (authoritative — children were validated to agree)."""
-        super().start()
-        self._spec = self._children[0].spec
+    def _derive_spec(self, first: np.ndarray):
+        """The spec contract stays per-frame: frames are (B, H, W[, C]), so
+        the per-frame spec comes from a child (validated to agree)."""
+        return self._children[0].spec

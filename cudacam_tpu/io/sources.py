@@ -74,10 +74,15 @@ class FrameSource(abc.ABC):
             raise RuntimeError(f"{type(self).__name__}: no first frame")
         self._frame = first
         self._pending = first
-        c = 1 if first.ndim == 2 else first.shape[2]
-        self._spec = (first.shape[0], first.shape[1], c)
+        self._spec = self._derive_spec(first)
         self._running = True
         log.info("%s started: spec=%s", type(self).__name__, self._spec)
+
+    def _derive_spec(self, first: np.ndarray) -> Tuple[int, int, int]:
+        """Per-frame (height, width, channels) from the first frame;
+        batched sources override (their frames carry a leading batch dim)."""
+        c = 1 if first.ndim == 2 else first.shape[2]
+        return (first.shape[0], first.shape[1], c)
 
     def stop(self) -> None:
         if self._running:
