@@ -194,6 +194,13 @@ class CannyApp:
         else:
             out = jax.device_put(frame)
         self._ring.push(out)
+        # Backpressure: dispatch is async, and an unbounded queue of
+        # in-flight frames balloons host+device memory (measured ~6 MB/frame
+        # of staging). Once per ring turnover, wait for the OLDEST retained
+        # output — at most ~ring_capacity frames stay in flight while the
+        # pipeline remains deep.
+        if self._ring.total_pushed % self._ring.capacity == 0:
+            jax.block_until_ready(self._ring.get(len(self._ring) - 1))
         if (
             self._publish_every
             and self._ring.total_pushed % self._publish_every == 0
