@@ -71,11 +71,17 @@ class CannyConfig:
     high_threshold: int = 40  # default (cannyEdgeH.cu:23); runtime-adjustable
 
     # --- hysteresis ------------------------------------------------------
-    # Global iteration cap: "safety belt", reference caps host relaunches at
-    # 100 (cannyEdgeH.cu:313). Ours caps while_loop rounds.
+    # Global round cap: "safety belt", reference caps host relaunches at
+    # 100 (cannyEdgeH.cu:313). Ours caps bit-packed promotion rounds
+    # (ops/bitpack.py); identical across backends, so outputs stay
+    # bit-identical even when the cap truncates.
     max_hysteresis_iters: int = 100
-    # Pixel-propagation steps fused per convergence check in the XLA path.
+    # Bit-parallel dilations fused per round/convergence check.
     hysteresis_inner_steps: int = 16
+    # Rounds of pure dilation before escalating to the 8-direction
+    # carry-lookahead scans (long straight candidate runs); tuned on real
+    # scenes (docs/performance.md).
+    hysteresis_scan_after: int = 10
 
     # --- execution -------------------------------------------------------
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
@@ -93,6 +99,11 @@ class CannyConfig:
             raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
         if self.parity not in ("reference", "opencv"):
             raise ValueError("parity must be 'reference' or 'opencv'")
+        if self.grad_coeff not in (1, 2, 4, 8):
+            # The exact-integer display magnitude (isqrt(m)*coeff)//8 equals
+            # the reference's trunc(coeff*sqrt(m)/8) only when coeff divides
+            # 8 (cannyEdgeD.cu:28,195 uses 4).
+            raise ValueError("grad_coeff must be 1, 2, 4 or 8")
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
         cap = self.threshold_cap

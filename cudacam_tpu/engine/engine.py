@@ -245,6 +245,7 @@ class CannyEngine(ThresholdControls):
                         xla_ops.hysteresis,
                         max_iters=cfg.max_hysteresis_iters,
                         inner_steps=cfg.hysteresis_inner_steps,
+                        scan_after=cfg.hysteresis_scan_after,
                     )
                 ),
                 "gradient_display": jax.jit(

@@ -1,0 +1,244 @@
+"""Bit-packed hysteresis: 32 pixels per lane, log-step run propagation.
+
+The reference's hysteresis promotes candidates (128) 8-adjacent to a FINAL
+edge (255) until a global fixed point, via per-block shared-memory iteration
+plus a host relaunch loop (cannyEdgeD.cu:295-377; cannyEdgeH.cu:297-338).
+Any dilate-by-one formulation — the reference's, and this framework's XLA
+while-loop and Pallas sweep kernels — pays one full-frame vector pass per
+pixel step of propagation, which measures ~1 ms/frame at 1080p on real
+scenes (see docs/performance.md): the edge chains are hundreds of pixels
+long, so hundreds of passes run.
+
+This module is the TPU-native answer, and the framework's default
+hysteresis on every backend:
+
+* **Bit packing.** The FINAL and CANDIDATE masks are packed 32 pixels per
+  uint32 lane ((H, ceil(W/32)) words). Every VPU op then processes 32x the
+  pixels, and a full 1080p state is ~260 KB — the whole convergence loop
+  lives in VMEM with no HBM round trips between steps.
+* **Carry-lookahead run propagation.** Promotion along a scan direction is
+  exactly the carry recurrence of an adder: carry_i = g_i | (p_i & carry_-),
+  with g = FINAL and p = CANDIDATE. Each of the 8 directions is resolved by
+  a Hillis-Steele doubling scan over (g, p) transfer pairs — log2(extent)
+  shifted OR/AND steps promote an entire candidate run in ONE scan, instead
+  of one pixel per dilation. A "round" chains all 8 directional scans, so
+  each round extends edges through every monotone segment of a chain;
+  convergence needs one round per direction *change* in the longest chain
+  (plus one to observe no growth), not one pass per pixel.
+
+Promotion is monotone toward the unique global fixed point (the same one
+the oracle's BFS computes, numpy_oracle.hysteresis), so scan order affects
+only speed, never the result. ``max_iters`` caps rounds (the analog of the
+reference's 100-relaunch safety belt, cannyEdgeH.cu:313); because every
+backend calls this same function, outputs are bit-identical across
+backends even when the cap truncates (docs/parity.md).
+
+Everything here is plain jax.numpy on integer types: it runs unchanged on
+CPU (tests), under vmap (batched cameras), and inside shard_map (the
+sharded engine's local step).
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE
+
+_ONE = jnp.uint32(1)
+
+
+def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a (H, W) boolean mask into (H, ceil(W/32)) uint32 words,
+    LSB-first (bit j of word k = column k*32 + j)."""
+    h, w = mask.shape
+    ww = -(-w // 32)
+    m = jnp.pad(mask, ((0, 0), (0, ww * 32 - w)))
+    m = m.reshape(h, ww, 32).astype(jnp.uint32)
+    weights = _ONE << jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Inverse of pack_mask: (H, Ww) uint32 -> (H, width) bool."""
+    h, ww = words.shape
+    bits = (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & _ONE
+    return bits.reshape(h, ww * 32)[:, :width].astype(jnp.bool_)
+
+
+def _shift_words(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[:, i] = x[:, i-k], zero fill (whole-word = 32-pixel shifts)."""
+    if k == 0:
+        return x
+    ww = x.shape[1]
+    if k > 0:
+        return jnp.pad(x, ((0, 0), (k, 0)))[:, :ww]
+    return jnp.pad(x, ((0, 0), (0, -k)))[:, -k:]
+
+
+def _shift_rows(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[i, :] = x[i-k, :], zero fill."""
+    if k == 0:
+        return x
+    h = x.shape[0]
+    if k > 0:
+        return jnp.pad(x, ((k, 0), (0, 0)))[:h]
+    return jnp.pad(x, ((0, -k), (0, 0)))[-k:]
+
+
+def _shift_px(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Shift the packed bit stream by ``s`` pixels along the row axis:
+    out[px] = x[px - s] (zero fill at the borders)."""
+    if s == 0:
+        return x
+    q, r = divmod(abs(s), 32)
+    if s > 0:
+        base = _shift_words(x, q)
+        if r == 0:
+            return base
+        return (base << jnp.uint32(r)) | (
+            _shift_words(base, 1) >> jnp.uint32(32 - r)
+        )
+    base = _shift_words(x, -q)
+    if r == 0:
+        return base
+    return (base >> jnp.uint32(r)) | (
+        _shift_words(base, -1) << jnp.uint32(32 - r)
+    )
+
+
+def _doubling_steps(extent: int) -> Tuple[int, ...]:
+    """Powers of two < extent (a scan with these steps covers any run)."""
+    steps = []
+    s = 1
+    while s < extent:
+        steps.append(s)
+        s *= 2
+    return tuple(steps)
+
+
+def _scan_dir(f, p, shift, steps: Sequence[int]):
+    """Resolve promotion along one direction: inclusive doubling scan of
+    (generate, propagate) transfer pairs. ``shift(x, s)`` must fetch the
+    value ``s`` cells *upstream* (where the carry comes from); zero fill is
+    the correct boundary (no edges enter from outside the frame)."""
+    g, pp = f, p
+    for s in steps:
+        gs = shift(g, s)
+        ps = shift(pp, s)
+        g = g | (pp & gs)
+        pp = pp & ps
+    return g
+
+
+def _dilate8_packed(f: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """One promotion step: f | (p & 8-neighborhood-OR(f)), bit-parallel.
+    Vertical neighbors first, then horizontal over the vertical OR (the
+    2-pass factorization): 2 row shifts + 2 one-pixel bit shifts."""
+    v = f | _shift_rows(f, 1) | _shift_rows(f, -1)
+    return f | (p & (v | _shift_px(v, 1) | _shift_px(v, -1)))
+
+
+def _make_ops(h: int, w: int, dilate_steps: int):
+    """Build the two promotion operators: ``dilates`` = dilate_steps fused
+    bit-parallel dilations; ``scans`` = the 8-direction doubling scans.
+    Both are monotone and dominated by the fixed point, so the converged
+    result is identical whatever mix runs — the mix only trades per-round
+    cost against rounds needed (see docs/performance.md)."""
+    hsteps = _doubling_steps(w)
+    vsteps = _doubling_steps(h)
+    dsteps = _doubling_steps(min(h, w))
+    directions = (
+        (lambda x, s: _shift_px(x, s), hsteps),        # left -> right
+        (lambda x, s: _shift_px(x, -s), hsteps),       # right -> left
+        (lambda x, s: _shift_rows(x, s), vsteps),      # top -> bottom
+        (lambda x, s: _shift_rows(x, -s), vsteps),     # bottom -> top
+        (lambda x, s: _shift_px(_shift_rows(x, s), s), dsteps),    # down-right
+        (lambda x, s: _shift_px(_shift_rows(x, -s), -s), dsteps),  # up-left
+        (lambda x, s: _shift_px(_shift_rows(x, s), -s), dsteps),   # down-left
+        (lambda x, s: _shift_px(_shift_rows(x, -s), s), dsteps),   # up-right
+    )
+
+    def scans(f, p):
+        for shift, steps in directions:
+            f = _scan_dir(f, p, shift, steps)
+        return f
+
+    def dilates(f, p):
+        for _ in range(dilate_steps):
+            f = _dilate8_packed(f, p)
+        return f
+
+    return dilates, scans
+
+
+def hysteresis_packed(
+    thresh: jnp.ndarray,
+    max_iters: int = 100,
+    remove_candidates: bool = True,
+    return_iters: bool = False,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+):
+    """Global hysteresis fixed point of a (H, W) uint8 threshold map.
+
+    Two escalating phases (two sequential while_loops — no data-dependent
+    branching inside a loop body, which XLA:TPU handles poorly):
+
+    1. rounds of ``dilate_steps`` fused bit-parallel dilations — optimal for
+       real scenes, whose chains are windy (each dilation is ~8 VPU ops on
+       1/32nd the pixels);
+    2. if still growing after ``scan_after`` such rounds (long straight
+       runs), rounds escalate to dilations + the 8-direction carry-lookahead
+       scans, which promote whole monotone runs at once.
+
+    ``max_iters`` caps total rounds — the reference's 100-relaunch safety
+    belt (cannyEdgeH.cu:313); one phase-1 round covers >= dilate_steps
+    pixels of propagation, a phase-2 round additionally any monotone run.
+    """
+    h, w = thresh.shape
+    f = pack_mask(thresh == FINAL_EDGE)
+    p = pack_mask(thresh == CANDIDATE_EDGE)
+    dilates, scans = _make_ops(h, w, dilate_steps)
+
+    def count(f):
+        return jnp.sum(jax.lax.population_count(f), dtype=jnp.int32)
+
+    # Phase 1 first round unconditionally; loop while the FINAL count grows
+    # (promotion is monotone, so count growth == change).
+    f1 = dilates(f, p)
+
+    def cond1(state):
+        _, prev, cur, it = state
+        return (cur > prev) & (it < min(scan_after, max_iters))
+
+    def body1(state):
+        f, _, cur, it = state
+        nf = dilates(f, p)
+        return nf, cur, count(nf), it + 1
+
+    state = jax.lax.while_loop(
+        cond1, body1, (f1, count(f), count(f1), jnp.int32(1))
+    )
+
+    def cond2(state):
+        _, prev, cur, it = state
+        return (cur > prev) & (it < max_iters)
+
+    def body2(state):
+        f, _, cur, it = state
+        nf = scans(dilates(f, p), p)
+        return nf, cur, count(nf), it + 1
+
+    # Entered only if phase 1 hit its round cap while still growing.
+    f_fix, _, _, iters = jax.lax.while_loop(cond2, body2, state)
+
+    reached = unpack_mask(f_fix, w)
+    if remove_candidates:
+        out = jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
+    else:
+        out = jnp.where(reached, jnp.uint8(FINAL_EDGE), thresh)
+    if return_iters:
+        return out, iters
+    return out

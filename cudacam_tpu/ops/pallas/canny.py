@@ -6,7 +6,11 @@ Mirrors xla_ops.canny_to_stage's cumulative run-to-stage-k contract
 * MONO is a pointwise fixed-point conversion — XLA already emits a single
   memory-bound pass for it, so it stays an XLA op feeding the kernel;
 * GAUSSIAN..THRESH is ONE fused Pallas kernel (feedforward.py);
-* HYSTER adds the sequential-sweep hysteresis kernel (hysteresis.py).
+* HYSTER adds the bit-packed convergence loop (ops/bitpack.py) — the
+  canonical hysteresis shared by every backend. (The sequential-sweep
+  Pallas kernel in hysteresis.py remains available as an independently
+  derived implementation, but measures ~6x slower on real scenes:
+  docs/performance.md.)
 """
 from __future__ import annotations
 
@@ -14,8 +18,8 @@ import jax.numpy as jnp
 
 from cudacam_tpu.config import CannyConfig
 from cudacam_tpu.ops import xla_ops
+from cudacam_tpu.ops.bitpack import hysteresis_packed
 from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
-from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
 from cudacam_tpu.stages import CannyStage
 
 
@@ -48,7 +52,10 @@ def canny_to_stage_pallas(
         interpret=interpret,
     )
     if final_stage == CannyStage.HYSTER:
-        out = hysteresis_pallas(
-            out, max_iters=cfg.max_hysteresis_iters, interpret=interpret
+        out = hysteresis_packed(
+            out,
+            max_iters=cfg.max_hysteresis_iters,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
         )
     return out

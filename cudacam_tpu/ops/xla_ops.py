@@ -233,16 +233,48 @@ def hysteresis(
     inner_steps: int = 16,
     remove_candidates: bool = True,
     return_iters: bool = False,
+    scan_after: int = 10,
 ):
     """On-device edge-tracking hysteresis to the global fixed point.
 
-    Replaces the reference's host relaunch loop (cannyEdgeH.cu:297-338) with a
-    single jitted lax.while_loop: each round applies ``inner_steps`` fused
-    promote-by-dilation steps (candidates 8-adjacent to a FINAL edge become
-    FINAL, cannyEdgeD.cu:342-356), then checks global convergence on-device —
-    no host round-trip per iteration, unlike the reference's per-iteration
-    flag readback (cannyEdgeH.cu:310,322). ``max_iters`` is the safety belt
-    (reference caps at 100 relaunches, cannyEdgeH.cu:313).
+    Replaces the reference's host relaunch loop (cannyEdgeH.cu:297-338) with
+    a single jitted while_loop over the bit-packed state (ops/bitpack.py):
+    each round applies ``inner_steps`` fused bit-parallel promote-by-dilation
+    steps (candidates 8-adjacent to a FINAL edge become FINAL,
+    cannyEdgeD.cu:342-356), escalating to carry-lookahead run scans after
+    ``scan_after`` rounds, then checks global convergence on-device — no
+    host round-trip per iteration, unlike the reference's per-iteration flag
+    readback (cannyEdgeH.cu:310,322). ``max_iters`` is the safety belt
+    (reference caps at 100 relaunches, cannyEdgeH.cu:313). Every backend
+    calls this same implementation, so outputs are bit-identical across
+    backends even when the cap truncates.
+    """
+    from cudacam_tpu.ops.bitpack import hysteresis_packed
+
+    return hysteresis_packed(
+        thresh,
+        max_iters=max_iters,
+        remove_candidates=remove_candidates,
+        return_iters=return_iters,
+        dilate_steps=inner_steps,
+        scan_after=scan_after,
+    )
+
+
+def hysteresis_dilate_loop(
+    thresh: jnp.ndarray,
+    max_iters: int = 100,
+    inner_steps: int = 16,
+    remove_candidates: bool = True,
+    return_iters: bool = False,
+):
+    """Legacy unpacked dilate-loop hysteresis (the pre-bitpack XLA path).
+
+    Kept as an independently-derived implementation for differential tests;
+    ~25x slower than the packed default at 1080p. Semantics note: its cap
+    truncates at max_iters*inner_steps pixel steps, which can differ from
+    the packed cap's truncation point — only the converged fixed points are
+    guaranteed identical.
     """
     final = thresh == FINAL_EDGE
     cand = thresh == CANDIDATE_EDGE
@@ -330,7 +362,8 @@ def canny_all_stages(
     grad, slope = grad_slope(sx, sy, cfg.grad_coeff, cfg.norm)
     nms = non_max_suppression(sum_x, sum_y, _display_coeff(cfg), cfg.norm)
     thresh = compute_threshold_map(sum_x, sum_y, low, high, cfg)
-    hyster = hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
+    hyster = hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps,
+                       scan_after=cfg.hysteresis_scan_after)
     return {
         "mono": mono,
         "gaussian": blur,
@@ -380,7 +413,8 @@ def threshold_sweep(
 
     def tail(lo, hi):
         th = compute_threshold_map(sum_x, sum_y, lo, hi, cfg)
-        return hysteresis(th, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
+        return hysteresis(th, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps,
+                          scan_after=cfg.hysteresis_scan_after)
 
     maps = jax.vmap(tail)(jnp.asarray(lows, jnp.int32), jnp.asarray(highs, jnp.int32))
     counts = (maps == FINAL_EDGE).sum(axis=(1, 2)).astype(jnp.int32)
@@ -412,4 +446,5 @@ def canny_to_stage(
     thresh = compute_threshold_map(sum_x, sum_y, low, high, cfg)
     if final_stage == CannyStage.THRESH:
         return thresh
-    return hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps)
+    return hysteresis(thresh, cfg.max_hysteresis_iters, cfg.hysteresis_inner_steps,
+                       scan_after=cfg.hysteresis_scan_after)

@@ -1,0 +1,207 @@
+"""Bit-packed hysteresis (ops/bitpack.py): packing, propagation, cap
+semantics — all vs the NumPy oracle's exact BFS fixed point."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.ops import xla_ops
+from cudacam_tpu.ops.bitpack import (
+    hysteresis_packed,
+    pack_mask,
+    unpack_mask,
+    _shift_px,
+    _shift_rows,
+)
+
+
+def make_spiral(h: int, w: int, seeded: bool = True) -> np.ndarray:
+    """Square spiral of CANDIDATE_EDGE pixels with one FINAL seed at the
+    outer end — the adversarial hysteresis input: a single chain whose
+    geodesic length is ~h*w/2 with a direction change every side."""
+    t = np.zeros((h, w), np.uint8)
+    # Turtle walk: right h-1... classic shrinking-side spiral with arm gap 2.
+    sides = []
+    sw, sh = w - 1, h - 1
+    while sw > 0 and sh > 0:
+        sides += [(0, 1, sw), (1, 0, sh), (0, -1, sw - 2), (-1, 0, sh - 2)]
+        sw -= 4
+        sh -= 4
+    r = c = 0
+    points = [(0, 0)]
+    for dr, dc, n in sides:
+        for _ in range(max(0, n)):
+            r += dr
+            c += dc
+            points.append((r, c))
+    for pr, pc in points:
+        t[pr, pc] = 128
+    if seeded:
+        t[points[0]] = 255
+    return t
+
+
+class TestPacking:
+    @pytest.mark.parametrize("w", [1, 7, 32, 33, 100, 640])
+    def test_roundtrip(self, w):
+        rng = np.random.default_rng(w)
+        m = rng.random((13, w)) < 0.3
+        rt = np.asarray(unpack_mask(pack_mask(jnp.asarray(m)), w))
+        assert (rt == m).all()
+
+    @pytest.mark.parametrize("s", [1, 2, 5, 31, 32, 33, 64, 100])
+    @pytest.mark.parametrize("sign", [1, -1])
+    def test_shift_px(self, s, sign):
+        rng = np.random.default_rng(s)
+        m = rng.random((5, 200)) < 0.4
+        shifted = np.asarray(
+            unpack_mask(_shift_px(pack_mask(jnp.asarray(m)), sign * s), 200)
+        )
+        want = np.zeros_like(m)
+        if sign > 0:
+            want[:, s:] = m[:, :-s]
+        else:
+            want[:, :-s] = m[:, s:]
+        # Bits beyond width live in the pad word; ignore them by re-slicing.
+        assert (shifted == want).all()
+
+    @pytest.mark.parametrize("s", [1, 3, -1, -4])
+    def test_shift_rows(self, s):
+        rng = np.random.default_rng(abs(s))
+        m = rng.random((11, 64)) < 0.4
+        shifted = np.asarray(
+            unpack_mask(_shift_rows(pack_mask(jnp.asarray(m)), s), 64)
+        )
+        want = np.zeros_like(m)
+        if s > 0:
+            want[s:] = m[:-s]
+        else:
+            want[:s] = m[-s:]
+        assert (shifted == want).all()
+
+
+class TestHysteresisPacked:
+    @pytest.mark.parametrize("trial", range(10))
+    def test_random_vs_oracle(self, trial):
+        rng = np.random.default_rng(trial)
+        h, w = rng.integers(4, 70, 2)
+        t = rng.choice(
+            [0, 128, 255], size=(h, w), p=[0.55, 0.35, 0.10]
+        ).astype(np.uint8)
+        want = oracle.hysteresis(t)
+        got = np.asarray(hysteresis_packed(jnp.asarray(t)))
+        np.testing.assert_array_equal(want, got)
+
+    def test_snake(self):
+        h, w = 64, 96
+        t = np.zeros((h, w), np.uint8)
+        for r in range(0, h, 4):
+            t[r, 1 : w - 1] = 128
+            if (r // 4) % 2 == 0 and r + 4 < h:
+                t[r : r + 5, w - 2] = 128
+            elif r + 4 < h:
+                t[r : r + 5, 1] = 128
+        t[0, 1] = 255
+        want = oracle.hysteresis(t)
+        got = np.asarray(hysteresis_packed(jnp.asarray(t)))
+        np.testing.assert_array_equal(want, got)
+        assert (want == 255).sum() > 500
+
+    def test_diagonal_staircase(self):
+        t = np.zeros((40, 40), np.uint8)
+        for i in range(39):
+            t[i, i] = 128
+        t[0, 0] = 255
+        got = np.asarray(hysteresis_packed(jnp.asarray(t)))
+        np.testing.assert_array_equal(got, oracle.hysteresis(t))
+        assert (got == 255).sum() == 39
+
+    def test_long_straight_runs_escalate_to_scans(self):
+        # A run far longer than scan_after*dilate_steps pixels must still
+        # converge exactly (phase 2's carry-lookahead scans).
+        t = np.zeros((8, 4096), np.uint8)
+        t[4, 1:4090] = 128
+        t[4, 1] = 255
+        got, iters = hysteresis_packed(
+            jnp.asarray(t), dilate_steps=4, scan_after=2, return_iters=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), oracle.hysteresis(t))
+        assert int(iters) < 8  # not ~1000 dilate rounds
+
+    def test_spiral_converges_exactly(self):
+        t = make_spiral(41, 57)
+        want = oracle.hysteresis(t)
+        got = np.asarray(hysteresis_packed(jnp.asarray(t), max_iters=200))
+        np.testing.assert_array_equal(want, got)
+        assert (want == 255).sum() > 500
+
+    def test_cap_semantics(self):
+        """At the cap, the output is a monotone under-approximation of the
+        fixed point, and — because every backend calls this one function
+        with config-driven arguments — identical across backends by
+        construction (docs/parity.md)."""
+        t = make_spiral(41, 57)
+        full = np.asarray(hysteresis_packed(jnp.asarray(t), max_iters=500))
+        capped = np.asarray(
+            hysteresis_packed(
+                jnp.asarray(t), max_iters=3, remove_candidates=False
+            )
+        )
+        # Capped finals are a subset of converged finals, superset of seeds.
+        assert ((capped == 255) & ~(full == 255)).sum() == 0
+        assert capped[0, 0] == 255
+        # Truncation really happened (the spiral needs > 3 rounds).
+        assert (capped == 255).sum() < (full == 255).sum()
+        # The engine-facing wrapper is literally the same computation.
+        via_xla_ops = np.asarray(
+            xla_ops.hysteresis(
+                jnp.asarray(t), max_iters=3, remove_candidates=False
+            )
+        )
+        np.testing.assert_array_equal(
+            via_xla_ops,
+            np.asarray(
+                hysteresis_packed(
+                    jnp.asarray(t), max_iters=3, remove_candidates=False
+                )
+            ),
+        )
+
+    def test_remove_candidates_false(self):
+        rng = np.random.default_rng(7)
+        t = rng.choice(
+            [0, 128, 255], size=(33, 51), p=[0.5, 0.4, 0.1]
+        ).astype(np.uint8)
+        want = oracle.hysteresis(t, remove_candidates=False)
+        got = np.asarray(
+            hysteresis_packed(jnp.asarray(t), remove_candidates=False)
+        )
+        np.testing.assert_array_equal(want, got)
+
+    def test_vmap(self):
+        rng = np.random.default_rng(3)
+        b = np.stack(
+            [
+                rng.choice(
+                    [0, 128, 255], size=(32, 64), p=[0.5, 0.4, 0.1]
+                ).astype(np.uint8)
+                for _ in range(4)
+            ]
+        )
+        got = np.asarray(
+            jax.vmap(lambda x: hysteresis_packed(x))(jnp.asarray(b))
+        )
+        for i in range(4):
+            np.testing.assert_array_equal(got[i], oracle.hysteresis(b[i]))
+
+    def test_legacy_dilate_loop_agrees(self):
+        """The pre-bitpack dilate-loop implementation is kept as an
+        independently derived differential check."""
+        rng = np.random.default_rng(11)
+        t = rng.choice(
+            [0, 128, 255], size=(48, 80), p=[0.5, 0.4, 0.1]
+        ).astype(np.uint8)
+        a = np.asarray(hysteresis_packed(jnp.asarray(t)))
+        b = np.asarray(xla_ops.hysteresis_dilate_loop(jnp.asarray(t)))
+        np.testing.assert_array_equal(a, b)
