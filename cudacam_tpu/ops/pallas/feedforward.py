@@ -216,10 +216,17 @@ def _kernel_body(
 
     # --- 3/6 Sobel (cannyEdgeD.cu:121-172), separable integer stencils -----
     # X = [1,2,1]^T x [-1,0,1]; Y = [1,2,1] smoothing x top-minus-bottom.
-    vsm = _sub(blur, -1) + 2 * blur + _sub(blur, 1)
-    hsm = _lan(blur, -1) + 2 * blur + _lan(blur, 1)
-    sum_x = (_lan(vsm, 1) - _lan(vsm, -1)) * valid
+    # Lane (horizontal) rolls cost ~3x a sublane roll on this hardware, so
+    # only the two +-1 column shifts of blur are lane rolls; the vertical
+    # smooths of the shifted columns reuse them with sublane rolls
+    # (vsmooth(shift(x)) == shift(vsmooth(x))).
+    bl = _lan(blur, -1)  # blur[r, c-1]
+    br = _lan(blur, 1)   # blur[r, c+1]
+    hsm = bl + 2 * blur + br
     sum_y = (_sub(hsm, -1) - _sub(hsm, 1)) * valid
+    vsm_l = _sub(bl, -1) + 2 * bl + _sub(bl, 1)
+    vsm_r = _sub(br, -1) + 2 * br + _sub(br, 1)
+    sum_x = (vsm_r - vsm_l) * valid
 
     # Exact uint8 magnitude: isqrt via f32 sqrt + integer fixup (values
     # < 2^24 so the float path is exact; see oracle.nms_magnitude_u8).
@@ -248,10 +255,12 @@ def _kernel_body(
     else:
         g = jnp.abs(sum_x) + jnp.abs(sum_y)
 
+    # Diagonal neighbors derive from the (expensive) lane-rolled gl/gr via
+    # (cheap) sublane rolls: only 2 lane rolls for the whole 8-neighborhood.
     gu, gd = _sub(g, -1), _sub(g, 1)
     gl, gr_ = _lan(g, -1), _lan(g, 1)
-    gul, gur = _lan(gu, -1), _lan(gu, 1)
-    gdl, gdr = _lan(gd, -1), _lan(gd, 1)
+    gul, gdl = _sub(gl, -1), _sub(gl, 1)
+    gur, gdr = _sub(gr_, -1), _sub(gr_, 1)
 
     v = jnp.abs(sum_x) << 15
     wmag = jnp.abs(sum_y)
@@ -275,9 +284,20 @@ def _kernel_body(
     lo = lo_ref[0]
     hi = hi_ref[0]
     if parity == "reference":
-        # Threshold the reference's uint8 magnitude domain.
-        nms = keep * magnitude_i32()
-        lo_c, hi_c = lo, hi
+        # Threshold the reference's uint8 magnitude domain — evaluated on
+        # the comparable magnitude g via exact scalar bounds, so no
+        # per-pixel isqrt runs on this path (xla_ops.threshold_magnitude_
+        # bound has the derivation; grad_coeff divides 8 per CannyConfig,
+        # so the ceil-division is a shift).
+        cshift = {1: 0, 2: 1, 4: 2, 8: 3}[grad_coeff]
+
+        def bound_minus_1(t):
+            s_min = (((t + 1) << 3) + grad_coeff - 1) >> cshift
+            b = s_min * s_min if norm == "l2" else s_min
+            return jnp.where(t >= 255, jnp.int32(1 << 30), b) - 1
+
+        nms = keep * g
+        lo_c, hi_c = bound_minus_1(lo), bound_minus_1(hi)
     else:
         # 'opencv' parity: threshold raw Sobel magnitudes exactly —
         # sqrt(m) > t <=> m > t*t (g already holds m, or the L1 sum).

@@ -123,6 +123,30 @@ def nms_magnitude_u8(
     return jnp.minimum(val, 255).astype(jnp.uint8)
 
 
+def threshold_magnitude_bound(
+    t: jnp.ndarray, grad_coeff: int, norm: str
+) -> jnp.ndarray:
+    """Smallest comparable magnitude whose display value exceeds threshold
+    ``t`` — the exact inverse of the reference's uint8 magnitude chain, so
+    the hot path can compare squared magnitudes against a SCALAR instead of
+    computing a per-pixel isqrt:
+
+        min(255, (isqrt(m)*coeff) // 8) > t
+          <=> t < 255  and  isqrt(m)*coeff >= 8*(t+1)        (floor duality)
+          <=> isqrt(m) >= ceil(8*(t+1)/coeff) =: s_min       (ceil duality)
+          <=> m >= s_min*s_min                               (isqrt duality)
+
+    (L1: the display value is (coeff*L1)//8, so the bound is s_min itself.)
+    ``t`` is a traced int32 scalar; the result is a traced scalar too, so
+    threshold changes still never recompile. For t >= 255 nothing can pass
+    (the display value is capped at 255): the bound is pushed above the
+    domain maximum (2*1020^2 L2 / 2040 L1)."""
+    t = t.astype(jnp.int32)
+    s_min = (((t + 1) << 3) + grad_coeff - 1) // grad_coeff
+    bound = s_min * s_min if norm == "l2" else s_min
+    return jnp.where(t >= 255, jnp.int32(1 << 30), bound)
+
+
 def nms_keep_mask(
     sum_x: jnp.ndarray, sum_y: jnp.ndarray, norm: str = "l2"
 ) -> jnp.ndarray:
@@ -333,15 +357,27 @@ def compute_threshold_map(
     """NMS + double threshold under the configured parity domain:
     'reference' thresholds the reference's uint8 magnitude
     (grad_coeff*sqrt(m)/8 truncated, cannyEdgeD.cu:195,267); 'opencv'
-    thresholds raw Sobel magnitudes so cv2.Canny values carry over 1:1."""
+    thresholds raw Sobel magnitudes so cv2.Canny values carry over 1:1.
+
+    The 'reference' comparison is evaluated WITHOUT per-pixel sqrt by
+    mapping each traced threshold to a scalar bound in the comparable
+    magnitude domain (threshold_magnitude_bound): exact, and removes the
+    isqrt chain from the hot path (the Pallas kernel uses the identical
+    derivation, feedforward.py)."""
     keep = nms_keep_mask(sum_x, sum_y, cfg.norm)
     if cfg.parity == "reference":
-        nms = jnp.where(
-            keep,
-            nms_magnitude_u8(sum_x, sum_y, cfg.grad_coeff, cfg.norm),
-            jnp.uint8(0),
+        g = _comparable_magnitude(sum_x, sum_y, cfg.norm)
+        lo_b = threshold_magnitude_bound(low, cfg.grad_coeff, cfg.norm)
+        hi_b = threshold_magnitude_bound(high, cfg.grad_coeff, cfg.norm)
+        return jnp.where(
+            keep & (g >= hi_b),
+            jnp.uint8(FINAL_EDGE),
+            jnp.where(
+                keep & (g >= lo_b),
+                jnp.uint8(CANDIDATE_EDGE),
+                jnp.uint8(NO_EDGE),
+            ),
         )
-        return double_threshold(nms, low, high)
     return double_threshold_opencv(sum_x, sum_y, keep, low, high, cfg.norm)
 
 def canny_all_stages(

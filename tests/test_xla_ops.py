@@ -167,3 +167,41 @@ class TestPipelineEquivalence:
         n0 = fn._cache_size()
         fn(f, jnp.int32(30), jnp.int32(90)).block_until_ready()
         assert fn._cache_size() == n0
+
+
+class TestThresholdMagnitudeBound:
+    """threshold_magnitude_bound is the exact inverse of the uint8 display
+    magnitude chain: min(255,(isqrt(m)*coeff)//8) > t  <=>  m >= bound."""
+
+    @pytest.mark.parametrize("coeff", [1, 2, 4, 8])
+    def test_exhaustive_l2(self, coeff):
+        import math
+        ts = np.arange(0, 300, dtype=np.int64)
+        bounds = np.asarray(
+            jax.vmap(lambda t: xla_ops.threshold_magnitude_bound(t, coeff, "l2"))(
+                jnp.asarray(ts, jnp.int32)
+            )
+        ).astype(np.int64)
+        # All distinct isqrt transition points in the domain, plus endpoints.
+        ms = [0, 1, 2, 2 * 1020 * 1020]
+        for s in range(1, 1443):
+            ms += [s * s - 1, s * s, s * s + 1]
+        ms = np.asarray(sorted(set(m for m in ms if 0 <= m <= 2 * 1020 * 1020)),
+                        dtype=np.int64)
+        vals = np.minimum(255, np.asarray(
+            [math.isqrt(int(m)) for m in ms], dtype=np.int64) * coeff // 8)
+        for t, b in zip(ts, bounds):
+            np.testing.assert_array_equal(vals > t, ms >= b)
+
+    @pytest.mark.parametrize("coeff", [1, 4, 8])
+    def test_exhaustive_l1(self, coeff):
+        ts = np.arange(0, 300, dtype=np.int64)
+        bounds = np.asarray(
+            jax.vmap(lambda t: xla_ops.threshold_magnitude_bound(t, coeff, "l1"))(
+                jnp.asarray(ts, jnp.int32)
+            )
+        ).astype(np.int64)
+        ms = np.arange(0, 2041, dtype=np.int64)
+        vals = np.minimum(255, ms * coeff // 8)
+        for t, b in zip(ts, bounds):
+            np.testing.assert_array_equal(vals > t, ms >= b)
