@@ -73,8 +73,10 @@ class CannyApp:
         # server) never touch the device — concurrent device access from a
         # second thread contends with the dispatch stream.
         self._publish_every = 0
-        self._published: Optional[np.ndarray] = None
-        self._published_raw: Optional[np.ndarray] = None
+        # (raw_frame, output) published as ONE tuple reference so readers on
+        # other threads can never observe a torn pair from two different
+        # frames (tuple assignment is atomic under the GIL).
+        self._published_pair: Optional[tuple] = None
         #: Display composition mode for preview/save/serve (io.compose.MODES).
         self.display_mode = "edges"
 
@@ -132,6 +134,55 @@ class CannyApp:
     @property
     def fps(self) -> float:
         return self._fps.fps
+
+    def apply_controls(
+        self,
+        low: Optional[int] = None,
+        high: Optional[int] = None,
+        stage: Optional[object] = None,
+        paused: Optional[bool] = None,
+        pipeline: Optional[bool] = None,
+        mode: Optional[str] = None,
+        profiling: Optional[bool] = None,
+        max_fps: Optional[float] = None,
+    ) -> dict:
+        """Apply any subset of the runtime controls and return the updated
+        status — the live-session analog of the reference's UI loop, where
+        sliders/combo/pause act on a RUNNING stream (imguiApp.cpp:303-349).
+
+        Safe to call from any thread while the run loop streams: every
+        setter only swaps Python references/ints (atomic under the GIL), and
+        all device work — including re-uploading the threshold scalars —
+        happens lazily on the run-loop thread. Threshold moves never
+        recompile (thresholds are traced arguments; tests assert jit-cache
+        stability across live moves). Raises ValueError on invalid values.
+        """
+        if stage is not None:
+            if isinstance(stage, str) and not stage.isdigit():
+                try:
+                    stage = CannyStage[stage.upper()]
+                except KeyError:
+                    raise ValueError(f"unknown stage {stage!r}")
+            self.set_stage(CannyStage(int(stage)))
+        if low is not None:
+            self._engine.set_low_threshold(int(low))
+        if high is not None:
+            self._engine.set_high_threshold(int(high))
+        if paused is not None:
+            (self.pause if paused else self.resume)()
+        if pipeline is not None and pipeline != self._pipeline_enabled:
+            self.toggle_pipeline()
+        if mode is not None:
+            from cudacam_tpu.io.compose import MODES
+
+            if mode not in MODES:
+                raise ValueError(f"unknown display mode {mode!r}")
+            self.display_mode = mode
+        if profiling is not None:
+            self.set_profiling(bool(profiling))
+        if max_fps is not None:
+            self.max_fps = float(max_fps) if max_fps > 0 else None
+        return self.status()
 
     def status(self) -> dict:
         """Live status snapshot (the ImGui info panel analog)."""
@@ -205,8 +256,7 @@ class CannyApp:
             self._publish_every
             and self._ring.total_pushed % self._publish_every == 0
         ):
-            self._published = np.asarray(out)
-            self._published_raw = frame  # already host-side
+            self._published_pair = (frame, np.asarray(out))
         self._fps.tick()
         return out
 
@@ -248,7 +298,10 @@ class CannyApp:
 
         mode = mode or self.display_mode
         if self._publish_every:
-            return compose(self._published_raw, self._published, mode)
+            pair = self._published_pair  # one read: raw+out from SAME frame
+            if pair is None:
+                return None
+            return compose(pair[0], pair[1], mode)
         return compose(self._last_input, self._ring.latest_np(), mode)
 
     def preview(

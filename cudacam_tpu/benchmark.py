@@ -1,4 +1,4 @@
-"""Benchmark: full six-stage Canny pipeline latency on a 1080p frame.
+"""Benchmark: full six-stage Canny pipeline cost on a 1080p frame.
 
 Baseline: the reference CUDA app reports ~6 ms/frame for "the entire CUDA
 process" on a GTX 1650 at 1080p (reference README.md:5; BASELINE.md).
@@ -7,35 +7,65 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": <ms/frame>, "unit": "ms", "vs_baseline": <speedup>}
 vs_baseline > 1 means faster than the reference's 6 ms.
 
-Measures device-resident input -> device-resident edge map (the reference's
-6 ms likewise excludes capture; its display also stays on-GPU). Uses a
-deterministic synthetic scene with realistic edge structure so hysteresis
-does real propagation work.
+Methodology (docs/performance.md): on this deployment the TPU sits behind a
+tunnel whose ``block_until_ready`` acknowledges before device execution
+completes, so WALL CLOCKS ARE NOT TRUSTWORTHY in either direction. The
+headline value is therefore the XProf device-lane busy time per frame
+(hardware timestamps; verified against a known-FLOPs matmul at chip peak),
+measured over a streaming loop of distinct device-resident frames. On CPU
+(no device lane) the wall clock is honest and is used directly. No
+device->host transfer of image data happens anywhere in the measured path
+(readback also degrades the tunnel permanently).
 """
 from __future__ import annotations
 
 import json
-import os
 import statistics
 import sys
 import time
 
 import numpy as np
 
-from cudacam_tpu.io.sources import make_scene
+from cudacam_tpu.io.sources import make_scene, make_spiral_thresh
 
 BASELINE_MS = 6.0
 
 
+def _wall_ms(run_once, passes: int, frames_per_pass: int) -> float:
+    times = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        run_once()
+        times.append((time.perf_counter() - t0) * 1e3 / frames_per_pass)
+    return statistics.median(times)
+
+
+def _measure_ms_per_frame(run_once, n_frames: int, on_tpu: bool,
+                          passes: int = 4) -> tuple:
+    """(device_ms, wall_ms) per frame for one warm streaming pass."""
+    import jax
+
+    from cudacam_tpu.utils.devtime import device_time_ms_per_call
+
+    jax.block_until_ready(run_once())  # warm once more
+    wall = _wall_ms(run_once, max(2, passes - 1), n_frames)
+    dev = None
+    if on_tpu:
+        dev = device_time_ms_per_call(run_once, calls=passes)
+        if dev is not None:
+            dev /= n_frames
+    return dev, wall
+
+
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
-    from cudacam_tpu import CannyConfig, CannyStage
+    from cudacam_tpu import CannyConfig
     from cudacam_tpu.engine import CannyEngine
 
     h, w = 1080, 1920
     platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
     cfg = CannyConfig(height=h, width=w)
     engine = CannyEngine(cfg)
     try:
@@ -49,30 +79,34 @@ def main() -> None:
 
     # Distinct device-resident frames, streamed back-to-back — the
     # reference's own number is per-frame processing time inside a live
-    # streaming loop (README.md:5), display never leaving the GPU. No
-    # device->host transfer happens anywhere in the measured path.
-    n_stream = 16 if platform == "tpu" else 4
+    # streaming loop (README.md:5), display never leaving the GPU.
+    n_stream = 8 if on_tpu else 4
     frames = [
         jax.device_put(make_scene(h, w, seed=s)) for s in range(n_stream)
     ]
-    for f in frames:  # warm every input's dispatch path
-        out = engine.process(f)
-    jax.block_until_ready(out)
 
-    passes = 20 if platform == "tpu" else 3
-    times = []
-    for _ in range(passes):
-        t0 = time.perf_counter()
+    def run_once():
+        out = None
         for f in frames:
             out = engine.process(f)
         jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3 / n_stream)
+        return out
 
-    ms = statistics.median(times)
+    run_once()  # warm every input's dispatch path
+    dev, wall = _measure_ms_per_frame(
+        run_once, n_stream, on_tpu, passes=6 if on_tpu else 3
+    )
+    if dev is not None:
+        ms, kind = dev, "device"
+    else:
+        ms, kind = wall, "wall"
     print(
         json.dumps(
             {
-                "metric": f"canny_1080p_stream_ms_per_frame_{platform}_{engine.backend}",
+                "metric": (
+                    f"canny_1080p_{kind}_ms_per_frame_"
+                    f"{platform}_{engine.backend}"
+                ),
                 "value": round(ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 3),
@@ -81,39 +115,39 @@ def main() -> None:
     )
 
 
-def _stream_ms(engine, frames, passes: int, jax) -> float:
-    for f in frames:
-        out = engine.process(f)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(passes):
-        t0 = time.perf_counter()
-        for f in frames:
-            out = engine.process(f)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) * 1e3 / len(frames))
-    return statistics.median(times)
-
-
 def full_table() -> None:
-    """Extended benchmark table: streaming per backend, per-stage costs,
-    batched multi-camera throughput (BASELINE.json config 4), and a 4K
-    mega-frame — written to BENCH_TABLE.md and printed. The default
-    single-line contract stays in main()."""
+    """Extended benchmark table — device-time and wall columns per row —
+    written to BENCH_TABLE.md and printed. The single-line driver contract
+    stays in main()."""
     import jax
     import jax.numpy as jnp
 
     from cudacam_tpu import CannyConfig, CannyStage
     from cudacam_tpu.engine import CannyEngine
+    from cudacam_tpu.ops.bitpack import hysteresis_packed
 
     platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-    passes = 12 if on_tpu else 2
+    on_tpu = platform != "cpu"
     rows = []
 
-    def add(name, ms, note=""):
-        rows.append((name, ms, BASELINE_MS / ms if ms > 0 else float("inf"), note))
-        print(f"  {name:44s} {ms:9.4f} ms   {BASELINE_MS/ms:8.1f}x  {note}")
+    def add(name, dev_ms, wall_ms, note=""):
+        ms = dev_ms if dev_ms is not None else wall_ms
+        rows.append((name, dev_ms, wall_ms, BASELINE_MS / ms, note))
+        d = f"{dev_ms:9.4f}" if dev_ms is not None else "      n/a"
+        print(f"  {name:44s} dev={d} wall={wall_ms:9.4f} ms "
+              f"{BASELINE_MS/ms:8.1f}x  {note}", flush=True)
+
+    def bench_engine(eng, frames, name, note="", stage=None, passes=4):
+        def run_once():
+            out = None
+            for f in frames:
+                out = (eng.process(f) if stage is None
+                       else eng.process(f, stage))
+            jax.block_until_ready(out)
+        run_once()
+        dev, wall = _measure_ms_per_frame(
+            run_once, len(frames), on_tpu, passes=passes)
+        add(name, dev, wall, note)
 
     print(f"platform={platform}")
     h, w = 1080, 1920
@@ -123,24 +157,15 @@ def full_table() -> None:
         cfg = CannyConfig(height=h, width=w, backend=backend)
         eng = CannyEngine(cfg)
         eng.warmup()
-        add(f"1080p stream ms/frame [{backend}]",
-            _stream_ms(eng, frames, passes, jax))
+        bench_engine(eng, frames, f"1080p stream ms/frame [{backend}]")
 
-    # Per-stage cumulative latencies (run-to-stage-k), default backend.
+    # Per-stage cumulative (run-to-stage-k), default backend.
     cfg = CannyConfig(height=h, width=w)
     eng = CannyEngine(cfg)
     for stage in CannyStage:
         eng.warmup(stage)
-        for f in frames:
-            out = eng.process(f, stage)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(passes):
-            for f in frames:
-                out = eng.process(f, stage)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) * 1e3 / (passes * len(frames))
-        add(f"1080p to stage {stage.name:8s} [{eng.backend}]", ms)
+        bench_engine(eng, frames, f"1080p to stage {stage.name:8s} [{eng.backend}]",
+                     stage=stage)
 
     # Config 1: VGA grayscale frame (the reference's minimal workload).
     cfg_vga = CannyConfig(height=480, width=640, channels=1)
@@ -148,22 +173,20 @@ def full_table() -> None:
     fv = [jax.device_put(make_scene(480, 640, seed=s)[..., 0].copy())
           for s in range(8)]
     eng_vga.warmup()
-    add("VGA (480x640) grayscale stream ms/frame",
-        _stream_ms(eng_vga, fv, passes, jax))
+    bench_engine(eng_vga, fv, "VGA (480x640) grayscale stream ms/frame")
 
     # Config 2: every intermediary stage buffer kept (process_all).
     eng_all = CannyEngine(cfg)
-    frames_iter = frames[:4]
-    for f in frames_iter:
-        out = eng_all.process_all(f)
-    jax.block_until_ready(out["hyster"])
-    t0 = time.perf_counter()
-    for _ in range(passes):
-        for f in frames_iter:
+    frames4 = frames[:4]
+
+    def run_all():
+        out = None
+        for f in frames4:
             out = eng_all.process_all(f)
-    jax.block_until_ready(out["hyster"])
-    add("1080p all-stage outputs ms/frame",
-        (time.perf_counter() - t0) * 1e3 / (passes * len(frames_iter)),
+        jax.block_until_ready(out["hyster"])
+    run_all()
+    dev, wall = _measure_ms_per_frame(run_all, len(frames4), on_tpu)
+    add("1080p all-stage outputs ms/frame", dev, wall,
         "keeps every display buffer (README.md:22 analog)")
 
     # Config 3: kernel-size / norm variants.
@@ -171,23 +194,34 @@ def full_table() -> None:
         cfgv = CannyConfig(height=h, width=w, kernel_size=ks, norm=norm)
         engv = CannyEngine(cfgv)
         engv.warmup()
-        add(f"1080p ks={ks} norm={norm} stream ms/frame",
-            _stream_ms(engv, frames[:4], max(4, passes // 2), jax))
+        bench_engine(engv, frames[:4],
+                     f"1080p ks={ks} norm={norm} stream ms/frame")
 
     # Batched multi-camera streams (config 4).
     for b in (4, 8):
         batch = jax.device_put(
             np.stack([make_scene(h, w, seed=100 + s) for s in range(b)])
         )
-        eng = CannyEngine(cfg)
-        eng.warmup(batch=b)
-        jax.block_until_ready(eng.process(batch))
-        t0 = time.perf_counter()
-        for _ in range(passes):
-            out = eng.process(batch)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) * 1e3 / (passes * b)
-        add(f"1080p batched x{b} ms/frame [{eng.backend}]", ms)
+        engb = CannyEngine(cfg)
+        engb.warmup(batch=b)
+
+        def run_batch():
+            jax.block_until_ready(engb.process(batch))
+        run_batch()
+        dev, wall = _measure_ms_per_frame(run_batch, b, on_tpu)
+        add(f"1080p batched x{b} ms/frame [{engb.backend}]", dev, wall)
+
+    # Worst-case hysteresis: a frame-long spiral candidate chain (the cap /
+    # propagation stress; reference analog is its 100-relaunch belt).
+    spiral = jax.device_put(jnp.asarray(make_spiral_thresh(h, w)))
+    hyst = jax.jit(lambda t: hysteresis_packed(t, max_iters=100))
+
+    def run_spiral():
+        jax.block_until_ready(hyst(spiral))
+    run_spiral()
+    dev, wall = _measure_ms_per_frame(run_spiral, 1, on_tpu)
+    add("hysteresis worst case (1080p spiral)", dev, wall,
+        "single ~1M-px chain; cap-bounded (docs/parity.md)")
 
     # Mega-frames (the BASELINE.json north-star axis: scaling frame size).
     for (hm, wm, label, note) in (
@@ -198,8 +232,7 @@ def full_table() -> None:
         engm = CannyEngine(cfgm)
         fm = [jax.device_put(make_scene(hm, wm, seed=s)) for s in range(2)]
         engm.warmup()
-        add(f"{label} stream ms/frame",
-            _stream_ms(engm, fm, max(4, passes // 3), jax), note)
+        bench_engine(engm, fm, f"{label} stream ms/frame", note=note)
 
     lines = [
         "# Benchmark table",
@@ -207,16 +240,21 @@ def full_table() -> None:
         f"Platform: {platform}. Baseline: reference CUDA app, ~6 ms/frame "
         "at 1080p on a GTX 1650 (its README).",
         "",
-        "Note: single-stream rows are dominated by the per-dispatch host "
-        "floor (~0.06-0.10 ms on this deployment) and bounce within noise "
-        "across runs/backends; the batched rows expose actual kernel cost. "
-        "See docs/performance.md for methodology.",
+        "`dev` is XProf device-lane busy time per frame (hardware "
+        "timestamps — the honest metric on this tunneled deployment; "
+        "see docs/performance.md). `wall` is host wall-clock, reported "
+        "for reference only: the tunnel acknowledges readiness before "
+        "execution completes, so wall times can under- OR over-state "
+        "device cost arbitrarily.",
         "",
-        "| Benchmark | ms/frame | vs 6 ms baseline | Note |",
-        "|---|---|---|---|",
+        "| Benchmark | device ms/frame | wall ms/frame | vs 6 ms baseline | Note |",
+        "|---|---|---|---|---|",
     ]
-    for name, ms, speedup, note in rows:
-        lines.append(f"| {name} | {ms:.4f} | {speedup:.1f}x | {note} |")
+    for name, dev_ms, wall_ms, speedup, note in rows:
+        d = f"{dev_ms:.4f}" if dev_ms is not None else "n/a"
+        lines.append(
+            f"| {name} | {d} | {wall_ms:.4f} | {speedup:.1f}x | {note} |"
+        )
     with open("BENCH_TABLE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote BENCH_TABLE.md")

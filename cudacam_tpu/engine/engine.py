@@ -58,6 +58,216 @@ def _resolve_backend(backend: str) -> str:
     return "pallas" if platform == "tpu" else "xla"
 
 
+class _ResilientJit:
+    """jit wrapper that routes around a jax 0.9 dispatch bug observed on
+    this deployment: after another executable with identical HLO exists in
+    the process, a jit object's C++ fastpath entry can go inconsistent and
+    every dispatch raises "Execution supplied 3 buffers but compiled
+    program expected 4 buffers" (the python path and a fresh AOT compile of
+    the very same function keep working). On that specific error the
+    wrapper permanently switches the affected argument signature to an
+    AOT-compiled executable (``fn.lower(...).compile()``), which bypasses
+    the fastpath cache entirely. Everything else — tracing, jit cache
+    stability (``_cache_size``), attributes — delegates to the real jit."""
+
+    def __init__(self, fn) -> None:
+        self._fn = fn
+        self._aot: Dict[tuple, Callable] = {}
+
+    @staticmethod
+    def _sig(args) -> tuple:
+        return tuple(
+            (getattr(a, "shape", None), str(getattr(a, "dtype", type(a))))
+            for a in args
+        )
+
+    def __call__(self, *args):
+        c = self._aot.get(self._sig(args)) if self._aot else None
+        if c is not None:
+            return c(*args)
+        try:
+            return self._fn(*args)
+        except ValueError as e:
+            if "buffers but compiled program expected" not in str(e):
+                raise
+            log.warning(
+                "jit fastpath inconsistency (%s); switching this signature "
+                "to an AOT-compiled executable", e
+            )
+            c = self._fn.lower(*args).compile()
+            self._aot[self._sig(args)] = c
+            return c(*args)
+
+    def __getattr__(self, name):
+        return getattr(self._fn, name)
+
+
+def _rjit(fn) -> _ResilientJit:
+    return _ResilientJit(jax.jit(fn))
+
+
+def _trace_cfg(cfg: CannyConfig) -> CannyConfig:
+    """Canonicalize away fields that do NOT affect the traced computation
+    (thresholds are runtime arguments; cfg.backend is resolved separately),
+    so configs differing only in those share one cache entry — essential:
+    two distinct jit objects wrapping the same computation trip the jax 0.9
+    fastpath bug described in CannyEngine."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, low_threshold=0, high_threshold=0, backend="auto"
+    )
+
+
+def _compiled_to_stage(
+    cfg: CannyConfig, backend: str, stage: CannyStage, batched: bool
+) -> Callable:
+    return _compiled_to_stage_cached(_trace_cfg(cfg), backend, stage, batched)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_to_stage_cached(
+    cfg: CannyConfig, backend: str, stage: CannyStage, batched: bool
+) -> Callable:
+    """Process-global compiled pipeline, shared by every engine with this
+    (config, backend): see the cache-sharing note in CannyEngine."""
+    if backend == "pallas":
+        from cudacam_tpu.ops.pallas import canny_to_stage_pallas
+
+        def base(f, lo, hi):
+            return canny_to_stage_pallas(
+                f, lo, hi, cfg, stage, interpret=cfg.interpret
+            )
+
+        if batched:
+            single = base
+            # lax.map, not vmap: the Pallas kernels use manual DMA grids
+            # that don't vectorise; sequential per-frame calls inside one
+            # compiled program.
+            base = lambda f, lo, hi: jax.lax.map(
+                lambda fr: single(fr, lo, hi), f
+            )
+    else:
+        base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
+        if batched:
+            base = jax.vmap(base, in_axes=(0, None, None))
+    return _rjit(base)
+
+
+def _compiled_all_stages(cfg: CannyConfig, batched: bool) -> Callable:
+    return _compiled_all_stages_cached(_trace_cfg(cfg), batched)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_all_stages_cached(cfg: CannyConfig, batched: bool) -> Callable:
+    base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
+    if batched:
+        base = jax.vmap(base, in_axes=(0, None, None))
+    return _rjit(base)
+
+
+def _compiled_threshold_sweep(cfg: CannyConfig, k: int) -> Callable:
+    return _compiled_threshold_sweep_cached(_trace_cfg(cfg), k)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_threshold_sweep_cached(cfg: CannyConfig, k: int) -> Callable:
+    del k  # cache key only: K (low, high) pairs -> distinct trace shapes
+    return _rjit(lambda f, lo, hi: xla_ops.threshold_sweep(f, lo, hi, cfg))
+
+
+# Profiling-mode stage steps, each cached on exactly the parameters its
+# trace depends on, so no two jit objects ever wrap the same computation.
+
+
+@functools.lru_cache(maxsize=None)
+def _step_mono() -> Callable:
+    return _rjit(xla_ops.rgb2mono)
+
+
+@functools.lru_cache(maxsize=None)
+def _step_gaussian(kernel_size: int) -> Callable:
+    return _rjit(
+        functools.partial(xla_ops.gaussian_blur, kernel_size=kernel_size)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _step_sobel() -> Callable:
+    return _rjit(xla_ops.sobel_sums)
+
+
+@functools.lru_cache(maxsize=None)
+def _step_nms(disp_coeff: int, norm: str) -> Callable:
+    # Returns (display buffer, keep mask): the keep mask is the expensive
+    # part and is reused by THRESH, so its cost is attributed once, here.
+    return _rjit(
+        lambda sx, sy: (
+            lambda keep: (
+                jnp.where(
+                    keep,
+                    xla_ops.nms_magnitude_u8(sx, sy, disp_coeff, norm),
+                    jnp.uint8(0),
+                ),
+                keep,
+            )
+        )(xla_ops.nms_keep_mask(sx, sy, norm))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _step_thresh(parity: str, norm: str) -> Callable:
+    # Threshold compare only, in the configured parity domain (the keep
+    # mask comes from the NMS step).
+    return _rjit(
+        (lambda nms, sx, sy, keep, lo, hi:
+         xla_ops.double_threshold(nms, lo, hi))
+        if parity == "reference"
+        else (lambda nms, sx, sy, keep, lo, hi:
+              xla_ops.double_threshold_opencv(sx, sy, keep, lo, hi, norm))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _step_hyster(max_iters: int, inner_steps: int, scan_after: int) -> Callable:
+    return _rjit(
+        functools.partial(
+            xla_ops.hysteresis,
+            max_iters=max_iters,
+            inner_steps=inner_steps,
+            scan_after=scan_after,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _step_gradient_display(disp_coeff: int, norm: str) -> Callable:
+    return _rjit(
+        functools.partial(
+            xla_ops.nms_magnitude_u8, grad_coeff=disp_coeff, norm=norm
+        )
+    )
+
+
+def _compiled_stage_steps(cfg: CannyConfig) -> Dict[str, Callable]:
+    """Per-stage jitted steps for profiling mode (each synchronised,
+    mirroring the reference's cudaEvent bracketing, cannyEdgeH.cu:409-430)."""
+    disp_coeff = xla_ops._display_coeff(cfg)
+    return {
+        "mono": _step_mono(),
+        "gaussian": _step_gaussian(cfg.kernel_size),
+        "sobel": _step_sobel(),
+        "nms": _step_nms(disp_coeff, cfg.norm),
+        "thresh": _step_thresh(cfg.parity, cfg.norm),
+        "hyster": _step_hyster(
+            cfg.max_hysteresis_iters,
+            cfg.hysteresis_inner_steps,
+            cfg.hysteresis_scan_after,
+        ),
+        "gradient_display": _step_gradient_display(disp_coeff, cfg.norm),
+    }
+
+
 class ThresholdControls:
     """Runtime threshold accessors shared by every engine flavor: clamping
     identical to the reference setters, which force low <= high
@@ -160,103 +370,34 @@ class CannyEngine(ThresholdControls):
         )
 
     # -- compiled function caches ------------------------------------------
+    # Per-engine dicts only memoize lookups into the PROCESS-GLOBAL caches
+    # below: identical configs lower to identical programs, so engines share
+    # one jit callable per (config, backend, stage, batched). Sharing saves
+    # recompiles when many engines exist in one process — and it works
+    # around a jax 0.9 dispatch bug where a SECOND jit object wrapping an
+    # identical large computation corrupts its own fastpath cache entry
+    # ("Execution supplied 3 buffers but compiled program expected 4").
 
     def _get_to_stage(self, stage: CannyStage, batched: bool) -> Callable:
         key = (stage, batched)
         fn = self._to_stage_fns.get(key)
         if fn is None:
-            cfg = self._cfg
-            if self._backend == "pallas":
-                from cudacam_tpu.ops.pallas import canny_to_stage_pallas
-
-                def base(f, lo, hi):
-                    return canny_to_stage_pallas(
-                        f, lo, hi, cfg, stage, interpret=cfg.interpret
-                    )
-
-                if batched:
-                    single = base
-                    # lax.map, not vmap: the Pallas kernels use manual DMA
-                    # grids that don't vectorise; sequential per-frame calls
-                    # inside one compiled program.
-                    base = lambda f, lo, hi: jax.lax.map(
-                        lambda fr: single(fr, lo, hi), f
-                    )
-            else:
-                base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
-                if batched:
-                    base = jax.vmap(base, in_axes=(0, None, None))
-            fn = jax.jit(base)
+            fn = _compiled_to_stage(self._cfg, self._backend, stage, batched)
             self._to_stage_fns[key] = fn
         return fn
 
     def _get_all_stages(self, batched: bool) -> Callable:
         fn = self._all_stages_fns.get(batched)
         if fn is None:
-            cfg = self._cfg
-            base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
-            if batched:
-                base = jax.vmap(base, in_axes=(0, None, None))
-            fn = jax.jit(base)
+            fn = _compiled_all_stages(self._cfg, batched)
             self._all_stages_fns[batched] = fn
         return fn
 
     def _get_stage_steps(self) -> Dict[str, Callable]:
-        """Per-stage jitted steps for profiling mode (each synchronised,
-        mirroring the reference's cudaEvent bracketing, cannyEdgeH.cu:409-430)."""
         if self._stage_step_fns is None:
-            cfg = self._cfg
-            disp_coeff = xla_ops._display_coeff(cfg)
-            self._stage_step_fns = {
-                "mono": jax.jit(xla_ops.rgb2mono),
-                "gaussian": jax.jit(
-                    functools.partial(xla_ops.gaussian_blur, kernel_size=cfg.kernel_size)
-                ),
-                "sobel": jax.jit(xla_ops.sobel_sums),
-                # NMS returns (display buffer, keep mask): the keep mask is
-                # the expensive part and is reused by THRESH, so its cost is
-                # attributed once, to the NMS row.
-                "nms": jax.jit(
-                    lambda sx, sy: (
-                        lambda keep: (
-                            jnp.where(
-                                keep,
-                                xla_ops.nms_magnitude_u8(
-                                    sx, sy, disp_coeff, cfg.norm
-                                ),
-                                jnp.uint8(0),
-                            ),
-                            keep,
-                        )
-                    )(xla_ops.nms_keep_mask(sx, sy, cfg.norm))
-                ),
-                # Threshold compare only, in the configured parity domain
-                # (the keep mask comes from the NMS step).
-                "thresh": jax.jit(
-                    (lambda nms, sx, sy, keep, lo, hi:
-                     xla_ops.double_threshold(nms, lo, hi))
-                    if cfg.parity == "reference"
-                    else (lambda nms, sx, sy, keep, lo, hi:
-                          xla_ops.double_threshold_opencv(
-                              sx, sy, keep, lo, hi, cfg.norm))
-                ),
-                "hyster": jax.jit(
-                    functools.partial(
-                        xla_ops.hysteresis,
-                        max_iters=cfg.max_hysteresis_iters,
-                        inner_steps=cfg.hysteresis_inner_steps,
-                        scan_after=cfg.hysteresis_scan_after,
-                    )
-                ),
-                "gradient_display": jax.jit(
-                    functools.partial(
-                        xla_ops.nms_magnitude_u8,
-                        grad_coeff=disp_coeff,
-                        norm=cfg.norm,
-                    )
-                ),
-            }
+            self._stage_step_fns = _compiled_stage_steps(self._cfg)
         return self._stage_step_fns
+
 
     # -- execution ----------------------------------------------------------
 
@@ -359,11 +500,7 @@ class CannyEngine(ThresholdControls):
         if lows.shape != highs.shape or lows.ndim != 1:
             raise ValueError("lows/highs must be equal-length 1D")
         k = int(lows.shape[0])
-        fn = self._to_stage_fns.get(("sweep", k))
-        if fn is None:
-            cfg = self._cfg
-            fn = jax.jit(lambda f, lo, hi: xla_ops.threshold_sweep(f, lo, hi, cfg))
-            self._to_stage_fns[("sweep", k)] = fn
+        fn = _compiled_threshold_sweep(self._cfg, k)
         return fn(arr, jnp.asarray(lows), jnp.asarray(highs))
 
     @contextlib.contextmanager

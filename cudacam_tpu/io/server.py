@@ -7,10 +7,17 @@ into the device ring, and this server — on its own thread — reads the
 newest frame back on demand, JPEG-encodes it, and streams it as
 multipart/x-mixed-replace (playable by any browser). Endpoints:
 
-* ``/``            minimal HTML viewer (stream + live status)
+* ``/``            HTML viewer: stream, live status, and CONTROLS (threshold
+                   sliders, stage combo, pause, pipeline toggle — the
+                   reference's runtime UI, imguiApp.cpp:303-349)
 * ``/stream.mjpg`` the MJPEG stream
 * ``/frame.jpg``   single snapshot
 * ``/status``      the app's live status JSON (stage, thresholds, fps, ...)
+* ``/set``         apply controls to the RUNNING stream (GET or POST):
+                   ``/set?low=10&high=40&stage=hyster&paused=0&mode=overlay
+                   &pipeline=1&profiling=0`` — routed thread-safely into
+                   CannyApp.apply_controls; returns the updated status.
+                   Threshold moves never recompile (traced arguments).
 
 Host readback happens only here, at the preview rate — the compute loop
 itself never crosses the device->host boundary.
@@ -33,18 +40,45 @@ _PAGE = b"""<!doctype html>
 <html><head><title>cudacam_tpu</title>
 <style>body{background:#111;color:#ddd;font-family:monospace;text-align:center}
 img{max-width:96vw;border:1px solid #444}pre{color:#8c8}
-a{color:#6af;margin:0 6px}</style></head>
+a{color:#6af;margin:0 6px}label{margin:0 8px}
+input[type=range]{vertical-align:middle}select,button{background:#222;
+color:#ddd;border:1px solid #555;margin:0 4px}</style></head>
 <body><h3>cudacam_tpu live</h3>
 <div>
 <a href="#" onclick="m('edges')">edges</a><a href="#" onclick="m('raw')">raw</a>
 <a href="#" onclick="m('split')">split</a><a href="#" onclick="m('overlay')">overlay</a>
 </div>
+<div>
+<label>low <input id="lo" type="range" min="0" max="255" step="1"
+ oninput="send({low:this.value})"><span id="lov"></span></label>
+<label>high <input id="hi" type="range" min="0" max="255" step="1"
+ oninput="send({high:this.value})"><span id="hiv"></span></label>
+<select id="st" onchange="send({stage:this.value})">
+<option>MONO</option><option>GAUSSIAN</option><option>GRADIENT</option>
+<option>NMS</option><option>THRESH</option><option selected>HYSTER</option>
+</select>
+<button id="pb" onclick="send({paused:st_paused?0:1})">pause</button>
+<button onclick="send({pipeline:st_pipe?0:1})">toggle pipeline</button>
+</div>
 <img id="v" src="/stream.mjpg">
 <pre id="s"></pre>
 <script>
-function m(x){document.getElementById('v').src='/stream.mjpg?mode='+x}
-setInterval(async()=>{const r=await fetch('/status');
-document.getElementById('s').textContent=JSON.stringify(await r.json(),null,1)},1000)
+let st_paused=false, st_pipe=true;
+function m(x){send({mode:x});document.getElementById('v').src='/stream.mjpg?mode='+x}
+async function send(kv){
+  const q=new URLSearchParams(kv).toString();
+  const r=await fetch('/set?'+q); show(await r.json());
+}
+function show(j){
+  st_paused=j.paused; st_pipe=j.pipeline_enabled;
+  document.getElementById('s').textContent=JSON.stringify(j,null,1);
+  document.getElementById('lov').textContent=j.low;
+  document.getElementById('hiv').textContent=j.high;
+  document.getElementById('pb').textContent=j.paused?'resume':'pause';
+  if(document.activeElement.id!='lo')document.getElementById('lo').value=j.low;
+  if(document.activeElement.id!='hi')document.getElementById('hi').value=j.high;
+}
+setInterval(async()=>{const r=await fetch('/status');show(await r.json())},1000)
 </script></body></html>
 """
 
@@ -83,6 +117,8 @@ class PreviewServer:
                             mode = kv[5:]
                     if route in ("/", "/index.html"):
                         self._send(200, "text/html", _PAGE)
+                    elif route == "/set":
+                        self._apply(query)
                     elif route == "/status":
                         body = json.dumps(outer._app.status()).encode()
                         self._send(200, "application/json", body)
@@ -105,6 +141,50 @@ class PreviewServer:
                                    f"error: {e}".encode())
                     except Exception:
                         pass
+
+            def do_POST(self):
+                try:
+                    route, _, query = self.path.partition("?")
+                    if route == "/set":
+                        n = int(self.headers.get("Content-Length", 0) or 0)
+                        body = self.rfile.read(n).decode() if n else ""
+                        self._apply(body or query)
+                    else:
+                        self._send(404, "text/plain", b"not found")
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception as e:
+                    log.warning("request %s failed: %s", self.path, e)
+                    try:
+                        self._send(500, "text/plain", f"error: {e}".encode())
+                    except Exception:
+                        pass
+
+            def _apply(self, query: str):
+                """Parse controls from a urlencoded query/body and route
+                them into the app (thread-safe: CannyApp.apply_controls)."""
+                from urllib.parse import parse_qs
+
+                q = {k: v[-1] for k, v in parse_qs(query).items()}
+                kw = {}
+                try:
+                    for key in ("low", "high"):
+                        if key in q:
+                            kw[key] = int(q[key])
+                    if "stage" in q:
+                        kw["stage"] = q["stage"]
+                    for key in ("paused", "pipeline", "profiling"):
+                        if key in q:
+                            kw[key] = q[key].lower() in ("1", "true", "on", "yes")
+                    if "mode" in q:
+                        kw["mode"] = q["mode"]
+                    if "max_fps" in q:
+                        kw["max_fps"] = float(q["max_fps"])
+                    status = outer._app.apply_controls(**kw)
+                except (ValueError, KeyError) as e:
+                    self._send(400, "text/plain", f"bad request: {e}".encode())
+                    return
+                self._send(200, "application/json", json.dumps(status).encode())
 
             def _send(self, code, ctype, body):
                 self.send_response(code)

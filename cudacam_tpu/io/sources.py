@@ -51,6 +51,29 @@ def make_scene(h: int, w: int, seed: int = 0, t: float = 0.0) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def make_spiral_thresh(h: int, w: int) -> np.ndarray:
+    """Adversarial hysteresis input: a square spiral of CANDIDATE_EDGE (128)
+    pixels seeded with one FINAL_EDGE (255) at its outer end — a single
+    chain of geodesic length ~h*w/2 with a direction change per side. Used
+    by the worst-case benchmark row and the cap-semantics tests."""
+    t = np.zeros((h, w), np.uint8)
+    sides = []
+    sw_, sh_ = w - 1, h - 1
+    while sw_ > 0 and sh_ > 0:
+        sides += [(0, 1, sw_), (1, 0, sh_), (0, -1, sw_ - 2), (-1, 0, sh_ - 2)]
+        sw_ -= 4
+        sh_ -= 4
+    r = c = 0
+    t[0, 0] = 128
+    for dr, dc, n in sides:
+        for _ in range(max(0, n)):
+            r += dr
+            c += dc
+            t[r, c] = 128
+    t[0, 0] = 255
+    return t
+
+
 class FrameSource(abc.ABC):
     """Spec-locked frame producer (the ``io::webcam`` contract,
     webcam.hpp:15-24): ``start()`` locks (height, width, channels);

@@ -43,10 +43,23 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE
 
-_ONE = jnp.uint32(1)
+# A numpy scalar, NOT jnp.uint32(1): a module-level jax scalar is a concrete
+# device array that gets embedded in every trace as a closure constant, and
+# jax 0.9 hoists it into an executable *parameter* inconsistently across
+# otherwise-identical traces (the "supplied 3 buffers but compiled program
+# expected 4" dispatch failures). A numpy scalar always inlines as a literal.
+_ONE = np.uint32(1)
+
+
+def _bit_iota() -> jnp.ndarray:
+    """(1, 1, 32) uint32 lane indices, as a traced iota rather than an
+    embedded jnp.arange constant (closure constants can be hoisted into
+    executable parameters, which breaks executable sharing across traces)."""
+    return jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
 
 
 def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
@@ -56,14 +69,13 @@ def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
     ww = -(-w // 32)
     m = jnp.pad(mask, ((0, 0), (0, ww * 32 - w)))
     m = m.reshape(h, ww, 32).astype(jnp.uint32)
-    weights = _ONE << jnp.arange(32, dtype=jnp.uint32)
-    return jnp.sum(m * weights, axis=-1, dtype=jnp.uint32)
+    return jnp.sum(m << _bit_iota(), axis=-1, dtype=jnp.uint32)
 
 
 def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
     """Inverse of pack_mask: (H, Ww) uint32 -> (H, width) bool."""
     h, ww = words.shape
-    bits = (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)) & _ONE
+    bits = (words[:, :, None] >> _bit_iota()) & _ONE
     return bits.reshape(h, ww * 32)[:, :width].astype(jnp.bool_)
 
 
@@ -97,14 +109,14 @@ def _shift_px(x: jnp.ndarray, s: int) -> jnp.ndarray:
         base = _shift_words(x, q)
         if r == 0:
             return base
-        return (base << jnp.uint32(r)) | (
-            _shift_words(base, 1) >> jnp.uint32(32 - r)
+        return (base << np.uint32(r)) | (
+            _shift_words(base, 1) >> np.uint32(32 - r)
         )
     base = _shift_words(x, -q)
     if r == 0:
         return base
-    return (base >> jnp.uint32(r)) | (
-        _shift_words(base, -1) << jnp.uint32(32 - r)
+    return (base >> np.uint32(r)) | (
+        _shift_words(base, -1) << np.uint32(32 - r)
     )
 
 

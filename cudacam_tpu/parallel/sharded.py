@@ -13,11 +13,14 @@ and of its host-coordinated hysteresis relaunch loop (cannyEdgeH.cu:297-338):
 - the whole mono->threshold chain runs on a once-extended tile (the total
   stencil halo is kernel_size//2 + 2), so there is ONE halo exchange for all
   feed-forward stages, not one per stage;
-- hysteresis runs as a global ``lax.while_loop``: each round does
-  ``inner_steps`` of local 8-connected promotion on a halo-extended tile,
-  then reduces a convergence flag with ``psum`` over all mesh axes — the
-  TPU-native replacement for the reference's per-iteration device->host flag
-  readback (cannyEdgeH.cu:310,322).
+- hysteresis runs as a global ``lax.while_loop``: each round saturates the
+  halo-extended tile to its LOCAL fixed point with an injectable operator
+  (default: the bit-packed loop of ops/bitpack.py — the same implementation
+  every single-chip backend runs), then reduces a convergence flag with
+  ``psum`` over all mesh axes — the TPU-native replacement for the
+  reference's per-iteration device->host flag readback
+  (cannyEdgeH.cu:310,322). Collective rounds are bounded by the
+  cross-shard edge diameter, not the pixel diameter.
 
 Correctness note (pollution depth): running the zero-padding single-chip ops
 on a tile extended by the *total* halo H yields exact values in the core,
@@ -71,12 +74,49 @@ def _trim(x: jnp.ndarray, h: int, axes: tuple[int, ...]) -> jnp.ndarray:
     return x[tuple(idx)]
 
 
+def default_local_saturate(cfg: CannyConfig) -> Callable:
+    """The production local-saturation operator for sharded hysteresis: the
+    bit-packed convergence loop (ops/bitpack.py) run to the LOCAL fixed
+    point of the halo-extended tile, candidates preserved for the next
+    exchange round. Pure jnp — identical code on CPU virtual meshes, a real
+    TPU slice, and a multi-process pod."""
+    from cudacam_tpu.ops.bitpack import hysteresis_packed
+
+    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
+        return hysteresis_packed(
+            t_ext,
+            max_iters=cfg.max_hysteresis_iters,
+            remove_candidates=False,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+        )
+
+    return saturate
+
+
+def sweep_kernel_local_saturate(cfg: CannyConfig) -> Callable:
+    """Alternative saturation operator: the Pallas sequential-sweep kernel
+    (ops/pallas/hysteresis.py; real TPU only). Injectable via
+    ``build_sharded_pipeline(..., local_saturate=...)`` — the round-loop
+    composition around it is the same one the virtual-mesh tests execute
+    with the packed/oracle stand-ins (tests/test_sharded.py)."""
+    from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
+
+    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
+        return hysteresis_pallas(
+            t_ext, max_iters=cfg.max_hysteresis_iters, remove_candidates=False
+        )
+
+    return saturate
+
+
 def build_sharded_pipeline(
     cfg: CannyConfig,
     mesh: Mesh,
     final_stage: CannyStage = CannyStage.HYSTER,
     hysteresis_halo: Optional[int] = None,
     backend: str = "xla",
+    local_saturate: Optional[Callable] = None,
 ) -> Callable:
     """Return a jitted fn(frame, low, high) running the pipeline sharded over
     ``mesh``. ``frame`` is (B, H, W[, C]) uint8 with B % mesh('b') == 0,
@@ -86,13 +126,14 @@ def build_sharded_pipeline(
     round (defaults to cfg.hysteresis_inner_steps so cross-shard propagation
     keeps pace with local propagation).
 
-    ``backend='pallas'`` (real TPU meshes) runs each shard's local compute
-    through the Pallas kernels: the fused feed-forward kernel consumes the
+    ``backend='pallas'`` (real TPU meshes) runs each shard's local
+    feed-forward through the fused Pallas kernel, consuming the
     halo-extended tile with its global origin pinned (so zero-padding
-    applies at the GLOBAL image border), and each hysteresis round saturates
-    the local tile to a fixed point in-VMEM before the halo exchange + psum —
-    maximum propagation per collective round. 'xla' is the portable default
-    (virtual CPU meshes, the driver dry-run).
+    applies at the GLOBAL image border). 'xla' is the portable default
+    (virtual CPU meshes, the driver dry-run). Hysteresis uses the same
+    round loop on both backends with ``local_saturate`` as the injectable
+    local operator (default: default_local_saturate — bit-packed, portable;
+    sweep_kernel_local_saturate is the Pallas-sweep alternative).
     """
     if backend not in ("xla", "pallas"):
         raise ValueError("backend must be 'xla' or 'pallas'")
@@ -113,6 +154,7 @@ def build_sharded_pipeline(
     # A shard can only export state it owns: cap the exchange halo at the
     # local tile size (propagation speed across shards is hh px per round).
     hh = max(1, min(hh, h_loc, w_loc))
+    saturate = local_saturate if local_saturate is not None else default_local_saturate(cfg)
 
     has_c = cfg.channels == 3
     frame_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS, None) if has_c else P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
@@ -195,46 +237,18 @@ def build_sharded_pipeline(
         return _trim(thresh, halo, (0, 1))
 
     def local_hysteresis(thresh: jnp.ndarray) -> jnp.ndarray:
-        """Sharded fixed point: local promotion + halo exchange + global
-        psum convergence flag (the reference's relaunch loop, distributed)."""
-        final = thresh == FINAL_EDGE
-        cand = thresh == CANDIDATE_EDGE
-        cand_ext = extend2d(cand, hh)  # static: exchanged once
-
-        def promote(f_ext: jnp.ndarray) -> jnp.ndarray:
-            return f_ext | (cand_ext & xla_ops._dilate8(f_ext))
-
-        def cond(state):
-            _, changed, it = state
-            return changed & (it < cfg.max_hysteresis_iters)
-
-        def body(state):
-            f, _, it = state
-            f_ext = extend2d(f, hh)
-            for _ in range(hh):
-                f_ext = promote(f_ext)
-            nf = _trim(f_ext, hh, (0, 1))
-            local_changed = jnp.any(nf != f)
-            global_changed = (
-                jax.lax.psum(
-                    local_changed.astype(jnp.int32),
-                    (BATCH_AXIS, ROW_AXIS, COL_AXIS),
-                )
-                > 0
-            )
-            return nf, global_changed, it + 1
-
-        reached, _, _ = jax.lax.while_loop(
-            cond, body, (final, jnp.bool_(True), jnp.int32(0))
-        )
-        return jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
-
-    def local_hysteresis_pallas(thresh: jnp.ndarray) -> jnp.ndarray:
-        """Pallas path: each global round saturates the local halo-extended
-        tile to its full fixed point in-VMEM (sequential sweep kernels),
-        so every collective round carries the maximum possible propagation.
-        Padded/invalid cells are NO_EDGE, which is absorbing."""
-        from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
+        """Sharded fixed point: each global round saturates the local
+        halo-extended tile with ``saturate`` (default: the bit-packed
+        convergence loop, ops/bitpack.py — the same implementation every
+        single-chip backend runs, so the composition that executes on a pod
+        is the one the virtual-mesh tests execute), then exchanges an
+        ``hh``-deep halo and psum-reduces a convergence flag — the
+        TPU-native replacement for the reference's per-iteration
+        device->host flag readback (cannyEdgeH.cu:310,322). Padded/invalid
+        cells are NO_EDGE, which is absorbing, and local saturation is
+        monotone toward the global fixed point, so any saturate operator
+        yields the same converged result; the operator only sets how much
+        propagation each collective round carries."""
 
         def cond(state):
             _, changed, it = state
@@ -243,10 +257,7 @@ def build_sharded_pipeline(
         def body(state):
             t, _, it = state
             t_ext = extend2d(t, hh)
-            new_ext = hysteresis_pallas(
-                t_ext, max_iters=cfg.max_hysteresis_iters,
-                remove_candidates=False,
-            )
+            new_ext = saturate(t_ext)
             nt = _trim(new_ext, hh, (0, 1))
             local_changed = jnp.any(nt != t)
             global_changed = (
@@ -275,7 +286,7 @@ def build_sharded_pipeline(
     )
     def sharded(frame, low, high):
         ff = local_feed_forward_pallas if backend == "pallas" else local_feed_forward
-        hys = local_hysteresis_pallas if backend == "pallas" else local_hysteresis
+        hys = local_hysteresis
 
         def per_frame(tile):
             out = ff(tile, low, high)

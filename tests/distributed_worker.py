@@ -1,0 +1,72 @@
+"""Worker process for tests/test_distributed.py — one of N jax.distributed
+processes on CPU, each owning 4 virtual devices of a shared 2x4=8-device
+pod. Runs the sharded pipeline on a (b, y, x) pod mesh and verifies its
+addressable output shards against the NumPy oracle. Exits 0 on success.
+
+Usage: python distributed_worker.py PORT PROCESS_ID NUM_PROCESSES
+"""
+import os
+import sys
+
+port, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon plugin overrides JAX_PLATFORMS unless the config is set too.
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cudacam_tpu import CannyConfig
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.parallel import distributed
+from cudacam_tpu.parallel.sharded import build_sharded_pipeline, shard_frame
+
+distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nprocs,
+    process_id=pid,
+)
+assert jax.process_count() == nprocs, jax.process_count()
+assert jax.local_device_count() == 4
+assert jax.device_count() == 4 * nprocs
+assert distributed.is_coordinator() == (pid == 0)
+
+mesh = distributed.pod_mesh(batch=1, cols=1)  # (b=1, y=8, x=1)
+
+# Deterministic frame: the cross-shard snake (a candidate line spanning all
+# row shards, seeded only in the top shard) — promotion must cross the
+# process boundary between shard 3 (process 0) and shard 4 (process 1).
+h, w = 64, 96
+frame = np.zeros((h, w), np.uint8)
+frame[:, 48] = np.linspace(255, 80, h).astype(np.uint8)
+cfg = CannyConfig(height=h, width=w, channels=1)
+run = build_sharded_pipeline(cfg, mesh)
+
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+garr = jax.make_array_from_callback(
+    (1, h, w),
+    NamedSharding(mesh, P("b", "y", "x")),
+    lambda idx: frame[None][idx],
+)
+out = run(garr, jnp.int32(5), jnp.int32(90))
+jax.block_until_ready(out)
+
+exp = oracle.canny_pipeline(frame, low=5, high=90)["hyster"][None]
+checked = 0
+for shard in out.addressable_shards:
+    got = np.asarray(shard.data)
+    want = exp[shard.index]
+    assert (got == want).all(), f"shard {shard.index} mismatch"
+    checked += 1
+assert checked == 4, checked
+# The promotion really crossed shards: rows near the bottom carry edges.
+assert (exp[0, 60] == 255).any()
+print(f"OK process={pid} shards_checked={checked}")

@@ -16,30 +16,7 @@ from cudacam_tpu.ops.bitpack import (
 )
 
 
-def make_spiral(h: int, w: int, seeded: bool = True) -> np.ndarray:
-    """Square spiral of CANDIDATE_EDGE pixels with one FINAL seed at the
-    outer end — the adversarial hysteresis input: a single chain whose
-    geodesic length is ~h*w/2 with a direction change every side."""
-    t = np.zeros((h, w), np.uint8)
-    # Turtle walk: right h-1... classic shrinking-side spiral with arm gap 2.
-    sides = []
-    sw, sh = w - 1, h - 1
-    while sw > 0 and sh > 0:
-        sides += [(0, 1, sw), (1, 0, sh), (0, -1, sw - 2), (-1, 0, sh - 2)]
-        sw -= 4
-        sh -= 4
-    r = c = 0
-    points = [(0, 0)]
-    for dr, dc, n in sides:
-        for _ in range(max(0, n)):
-            r += dr
-            c += dc
-            points.append((r, c))
-    for pr, pc in points:
-        t[pr, pc] = 128
-    if seeded:
-        t[points[0]] = 255
-    return t
+from cudacam_tpu.io.sources import make_spiral_thresh as make_spiral
 
 
 class TestPacking:

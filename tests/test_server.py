@@ -105,3 +105,81 @@ class TestRecordInput:
 
         with FramePump(raw) as pump:
             assert pump.n_frames == 2
+
+
+class TestLiveControls:
+    """The reference's defining UX: moving sliders / switching stage /
+    pausing while the stream renders (imguiApp.cpp:303-349). /set routes
+    controls into the RUNNING app; threshold moves must never recompile."""
+
+    def test_set_thresholds_live(self, served_app):
+        app, server = served_app
+        conn, resp = _get(server.port, "/set?low=20&high=90")
+        assert resp.status == 200
+        status = json.loads(resp.read())
+        conn.close()
+        assert status["low"] == 20 and status["high"] == 90
+        assert app.engine.get_low_threshold() == 20
+
+    def test_set_stage_pause_mode_pipeline(self, served_app):
+        app, server = served_app
+        conn, resp = _get(
+            server.port, "/set?stage=thresh&paused=1&mode=overlay&pipeline=0"
+        )
+        status = json.loads(resp.read())
+        conn.close()
+        assert status["stage"] == "THRESH"
+        assert status["paused"] is True
+        assert status["display_mode"] == "overlay"
+        assert status["pipeline_enabled"] is False
+        # and back on, via POST body
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=5)
+        conn.request("POST", "/set", body="paused=0&pipeline=1&stage=5",
+                     headers={"Content-Type":
+                              "application/x-www-form-urlencoded"})
+        status = json.loads(conn.getresponse().read())
+        conn.close()
+        assert status["paused"] is False
+        assert status["pipeline_enabled"] is True
+        assert status["stage"] == "HYSTER"
+
+    def test_bad_values_are_400(self, served_app):
+        _, server = served_app
+        for q in ("/set?stage=nope", "/set?mode=nope", "/set?low=abc"):
+            conn, resp = _get(server.port, q)
+            assert resp.status == 400, q
+            conn.close()
+
+    def test_live_threshold_moves_do_not_recompile(self, served_app):
+        app, server = served_app
+        app.step()
+        fn = app.engine._to_stage_fns[(app.stage, False)]
+        n0 = fn._cache_size()
+        import threading
+
+        stop = threading.Event()
+
+        def loop():
+            while not stop.is_set():
+                app.step()
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        try:
+            for lo, hi in ((5, 50), (15, 80), (0, 255), (30, 30)):
+                conn, resp = _get(server.port, f"/set?low={lo}&high={hi}")
+                assert resp.status == 200
+                conn.close()
+        finally:
+            stop.set()
+            t.join(timeout=10)
+        app.step()
+        assert fn._cache_size() == n0
+
+    def test_published_pair_is_atomic_reference(self, served_app):
+        app, _ = served_app
+        app.step()
+        pair = app._published_pair
+        assert pair is not None and len(pair) == 2
+        raw, out = pair
+        assert raw.shape[:2] == out.shape[:2]

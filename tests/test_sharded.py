@@ -129,3 +129,70 @@ class TestKernelVariants:
         run = build_sharded_pipeline(cfg, mesh)
         out = np.asarray(run(jnp.asarray(frames), jnp.int32(10), jnp.int32(40)))
         np.testing.assert_array_equal(out, _expected(frames, norm="l1"))
+
+
+class TestInjectableSaturate:
+    """The hysteresis round loop (extend -> saturate -> trim -> psum) is one
+    composition with an injectable local operator; these tests run that SAME
+    composition multi-shard with different operators, so the loop logic that
+    executes on a real pod (including the remove_candidates=False / halo
+    trim interplay) is verified on the 8-device virtual mesh."""
+
+    def _snake_frame(self):
+        h, w = 64, 96
+        frame = np.zeros((h, w), np.uint8)
+        frame[:, 48] = np.linspace(255, 80, h).astype(np.uint8)
+        return frame
+
+    def _run_with(self, saturate_builder, hh=None):
+        frame = self._snake_frame()
+        cfg = CannyConfig(height=64, width=96, channels=1)
+        mesh = make_mesh(batch=1, rows=4, cols=2)
+        run = build_sharded_pipeline(
+            cfg, mesh, local_saturate=saturate_builder(cfg),
+            hysteresis_halo=hh,
+        )
+        out = np.asarray(
+            run(jnp.asarray(frame)[None], jnp.int32(5), jnp.int32(90))
+        )[0]
+        exp = oracle.canny_pipeline(frame, low=5, high=90)["hyster"]
+        np.testing.assert_array_equal(out, exp)
+        assert (out[60] == 255).any()  # cross-shard promotion happened
+
+    def test_default_packed_operator(self):
+        from cudacam_tpu.parallel.sharded import default_local_saturate
+
+        self._run_with(default_local_saturate)
+
+    def test_weak_operator_still_converges(self):
+        # A deliberately weak operator (single dilation per round): the
+        # round loop itself must carry convergence via repeated exchange.
+        from cudacam_tpu.ops.bitpack import hysteresis_packed
+
+        def weak(cfg):
+            return lambda t_ext: hysteresis_packed(
+                t_ext, max_iters=1, remove_candidates=False,
+                dilate_steps=1, scan_after=99,
+            )
+
+        self._run_with(weak)
+
+    def test_oracle_standin_operator(self):
+        # Stand-in for TPU-only saturation kernels (the Pallas sweep
+        # variant, sweep_kernel_local_saturate): any op that locally
+        # saturates the extended tile composes identically. This executes
+        # the exact round-loop code path the sweep kernel uses on a pod.
+        from cudacam_tpu.ops.bitpack import hysteresis_packed
+
+        def full_local(cfg):
+            return lambda t_ext: hysteresis_packed(
+                t_ext, max_iters=cfg.max_hysteresis_iters,
+                remove_candidates=False,
+            )
+
+        self._run_with(full_local, hh=8)
+
+    def test_small_halo(self):
+        from cudacam_tpu.parallel.sharded import default_local_saturate
+
+        self._run_with(default_local_saturate, hh=1)
