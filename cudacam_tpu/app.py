@@ -79,6 +79,14 @@ class CannyApp:
         self._published_pair: Optional[tuple] = None
         #: Display composition mode for preview/save/serve (io.compose.MODES).
         self.display_mode = "edges"
+        # Device-resident input loop (preload_device_loop): on deployments
+        # whose host->device path leaks staging memory per upload (the
+        # tunnel here leaks ~6 MB/frame, CLAUDE.md), an unbounded streaming
+        # run must not upload every frame. When set, step() cycles these
+        # preloaded device frames and never touches the source again.
+        self._device_frames: Optional[List] = None
+        self._device_raw: Optional[List[np.ndarray]] = None
+        self._device_idx = 0
 
     # -- controls ----------------------------------------------------------
 
@@ -220,6 +228,36 @@ class CannyApp:
                 np.asarray(self._engine.process(np.zeros(shape, np.uint8),
                                                 self._stage))
 
+    def preload_device_loop(self, n_frames: int = 8) -> int:
+        """Bound streaming host memory: read ``n_frames`` from the source
+        ONCE, upload them to the device, and have every subsequent step()
+        cycle these device-resident inputs without touching the source or
+        the host->device path again.
+
+        Motivation: on remote-tunnel deployments each host->device frame
+        upload leaks ~6 MB of host staging memory (CLAUDE.md), so an
+        unbounded `run --frames 0` would exhaust the host. With the loop,
+        total upload count is fixed at ``n_frames`` regardless of runtime.
+        Intended for soaks/demos/benchmarks of replayable sources; live
+        sources obviously cannot use it (their frames would be ignored).
+        Returns the number of frames actually preloaded."""
+        frames = []
+        for _ in range(max(1, int(n_frames))):
+            try:
+                frames.append(self._source.read())
+            except EOFError:
+                break
+        if not frames:
+            raise RuntimeError("source yielded no frames to preload")
+        self._device_raw = frames
+        self._device_frames = [jax.device_put(f) for f in frames]
+        jax.block_until_ready(self._device_frames[-1])
+        self._device_idx = len(frames) - 1  # first step wraps to frame 0
+        self._last_input = frames[-1]
+        log.info("device loop: %d frames preloaded (%d MB host-resident)",
+                 len(frames), sum(f.nbytes for f in frames) >> 20)
+        return len(frames)
+
     # -- per-frame loop ----------------------------------------------------
 
     def step(self) -> object:
@@ -237,9 +275,20 @@ class CannyApp:
                 max(self._next_deadline, now - 1.0 / self.max_fps)
                 + 1.0 / self.max_fps
             )
-        if not self._paused or self._last_input is None:
-            self._last_input = self._source.read()
-        frame = self._last_input
+        if self._device_frames is not None:
+            # Bounded-memory mode: cycle preloaded device-resident inputs;
+            # zero host->device transfers per frame (docs/performance.md
+            # "H2D upload leak").
+            if not self._paused:
+                self._device_idx = (self._device_idx + 1) % len(
+                    self._device_frames
+                )
+            frame = self._device_frames[self._device_idx]
+            self._last_input = self._device_raw[self._device_idx]
+        else:
+            if not self._paused or self._last_input is None:
+                self._last_input = self._source.read()
+            frame = self._last_input
         if self._pipeline_enabled:
             out = self._engine.process(frame, self._stage)
         else:
@@ -256,7 +305,9 @@ class CannyApp:
             self._publish_every
             and self._ring.total_pushed % self._publish_every == 0
         ):
-            self._published_pair = (frame, np.asarray(out))
+            # self._last_input is always the HOST copy of the current raw
+            # frame (in device-loop mode ``frame`` is device-resident).
+            self._published_pair = (self._last_input, np.asarray(out))
         self._fps.tick()
         return out
 

@@ -91,6 +91,11 @@ def cmd_run(args: argparse.Namespace) -> int:
             print(f"preview: http://{args.serve_host}:{server.port}/")
 
         app.warmup()  # compile outside the timed loop
+        if args.device_loop:
+            # Bounded-memory streaming (docs/performance.md "H2D upload
+            # leak"): upload N frames once, cycle them device-resident.
+            got = app.preload_device_loop(args.device_loop)
+            print(f"device loop: cycling {got} preloaded frames")
         import contextlib
 
         tracer = app.engine.trace(args.trace) if args.trace else contextlib.nullcontext()
@@ -274,6 +279,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipeline_args(pr)
     pr.add_argument("--profile", action="store_true",
                     help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--device-loop", type=int, default=None, metavar="N",
+                    help="preload N frames to the device once and cycle "
+                         "them (bounds host RAM on deployments whose "
+                         "upload path leaks; replayable sources only)")
     pr.add_argument("--max-fps", type=float, default=None,
                     help="pace the loop to at most this rate (the reference "
                          "is vsync-locked ~60; default unpaced)")

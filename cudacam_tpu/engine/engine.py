@@ -154,15 +154,29 @@ def _compiled_to_stage_cached(
     return _rjit(base)
 
 
-def _compiled_all_stages(cfg: CannyConfig, batched: bool) -> Callable:
-    return _compiled_all_stages_cached(_trace_cfg(cfg), batched)
+def _compiled_all_stages(cfg: CannyConfig, backend: str, batched: bool) -> Callable:
+    return _compiled_all_stages_cached(_trace_cfg(cfg), backend, batched)
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_all_stages_cached(cfg: CannyConfig, batched: bool) -> Callable:
-    base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
-    if batched:
-        base = jax.vmap(base, in_axes=(0, None, None))
+def _compiled_all_stages_cached(
+    cfg: CannyConfig, backend: str, batched: bool
+) -> Callable:
+    if backend == "pallas":
+        from cudacam_tpu.ops.pallas.canny import canny_all_stages_pallas
+
+        base = lambda f, lo, hi: canny_all_stages_pallas(
+            f, lo, hi, cfg, interpret=cfg.interpret
+        )
+        if batched:
+            single = base
+            base = lambda f, lo, hi: jax.lax.map(
+                lambda fr: single(fr, lo, hi), f
+            )
+    else:
+        base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
+        if batched:
+            base = jax.vmap(base, in_axes=(0, None, None))
     return _rjit(base)
 
 
@@ -317,6 +331,8 @@ class CannyEngine(ThresholdControls):
         self._cfg = config
         self._backend = _resolve_backend(config.backend)
         self._profiling = profiling
+        #: 'auto' | 'stages' | 'cumulative' — see _process_profiled.
+        self.profiling_mode = "auto"
         self._timers = timers or TimerManager.get()
         self._init_thresholds(config)
         # One jit cache entry per (final_stage, batched); thresholds traced.
@@ -343,6 +359,11 @@ class CannyEngine(ThresholdControls):
     def set_profiling(self, enabled: bool) -> None:
         """Toggle per-stage timing (reference cannyEdgeH.hpp:31)."""
         self._profiling = bool(enabled)
+
+    def _profiling_mode_resolved(self) -> str:
+        if self.profiling_mode != "auto":
+            return self.profiling_mode
+        return "cumulative" if self._backend == "pallas" else "stages"
 
     @property
     def timers(self) -> TimerManager:
@@ -389,7 +410,7 @@ class CannyEngine(ThresholdControls):
     def _get_all_stages(self, batched: bool) -> Callable:
         fn = self._all_stages_fns.get(batched)
         if fn is None:
-            fn = _compiled_all_stages(self._cfg, batched)
+            fn = _compiled_all_stages(self._cfg, self._backend, batched)
             self._all_stages_fns[batched] = fn
         return fn
 
@@ -418,11 +439,22 @@ class CannyEngine(ThresholdControls):
     def _process_profiled(
         self, arr: jax.Array, batched: bool, final_stage: CannyStage, lo, hi
     ) -> jax.Array:
-        """Stage-by-stage execution with per-stage device-synchronised timing
-        (the reference's profiling path also syncs per stage,
-        cannyEdgeH.cu:420-429). Always runs the stage-split XLA ops — the
-        Pallas backend fuses gaussian..threshold into one kernel, which has
-        no per-stage boundaries to time."""
+        """Per-stage timed execution (the reference's profiling path also
+        syncs per stage, cannyEdgeH.cu:420-429). Two modes:
+
+        - ``stages`` (XLA backend default): run the stage-split XLA ops,
+          each synchronised and timed directly;
+        - ``cumulative`` (Pallas backend default): the fused kernel has no
+          internal stage boundaries, so run the backend's OWN cumulative
+          run-to-stage-k programs and attribute each stage the time
+          increment t(k) - t(k-1). This times the program users actually
+          run, instead of silently switching backends.
+
+        ``profiling_mode`` overrides the per-backend default."""
+        if self._profiling_mode_resolved() == "cumulative":
+            return self._process_profiled_cumulative(
+                arr, batched, final_stage, lo, hi
+            )
         steps = self._get_stage_steps()
         t = self._timers
         names = CANNY_STAGE_NAMES
@@ -465,6 +497,32 @@ class CannyEngine(ThresholdControls):
         if batched:
             hys_fn = jax.vmap(hys_fn)
         return timed(CannyStage.HYSTER, hys_fn, thresh)
+
+    def _process_profiled_cumulative(
+        self, arr: jax.Array, batched: bool, final_stage: CannyStage, lo, hi
+    ) -> jax.Array:
+        """Profiling on the production backend: run the backend's cumulative
+        run-to-stage-k programs (the exact programs unprofiled users run)
+        and attribute stage k the increment t(k) - t(k-1), clamped at 0.
+        Costs ~2x one frame (k programs) — profiling mode is allowed to.
+        The reference's analog relaunches its kernel chain per stage too
+        (cannyEdgeH.cu:49-120 cumulative switch)."""
+        import time as _time
+
+        names = CANNY_STAGE_NAMES
+        prev = 0.0
+        out = None
+        for stage in CannyStage:
+            if stage > final_stage:
+                break
+            fn = self._get_to_stage(stage, batched)
+            t0 = _time.perf_counter()
+            out = fn(arr, lo, hi)
+            jax.block_until_ready(out)
+            dt = (_time.perf_counter() - t0) * 1e3
+            self._timers.add_time(names[stage], max(0.0, dt - prev))
+            prev = dt
+        return out
 
     def process_all(self, frame: ArrayLike) -> Dict[str, jax.Array]:
         """Run everything, returning all stage buffers (the reference keeps

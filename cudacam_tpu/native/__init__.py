@@ -74,6 +74,7 @@ def load_library() -> ctypes.CDLL:
         lib.fp_frames_buffered.argtypes = [ctypes.c_void_p]
         lib.fp_error.restype = ctypes.c_int
         lib.fp_error.argtypes = [ctypes.c_void_p]
+        lib.fp_stop.argtypes = [ctypes.c_void_p]
         lib.fp_close.argtypes = [ctypes.c_void_p]
         lib.fp_write_file.restype = ctypes.c_int
         lib.fp_write_file.argtypes = [
@@ -163,7 +164,19 @@ class FramePump:
         self._acquired = False
         return out
 
+    def stop(self) -> None:
+        """Phase-1 shutdown, safe from ANY thread: stops the producer and
+        wakes a consumer blocked in acquire() (it returns None). Call this
+        from a controlling thread, then let the owner call close()."""
+        if self._h:
+            self._lib.fp_stop(self._h)
+
     def close(self) -> None:
+        """Destroy the pump. Per the C ABI contract (framepump.cpp), no
+        other FramePump call on this handle may START once close begins;
+        consumers already blocked inside acquire() are drained safely
+        (close stops the producer, wakes them, and waits until they leave
+        before freeing)."""
         if self._h:
             self._lib.fp_close(self._h)
             self._h = None

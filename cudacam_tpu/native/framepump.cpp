@@ -54,15 +54,21 @@ struct Pump {
   uint64_t produced = 0, consumed = 0;
 
   std::mutex mu;
-  std::condition_variable cv_can_produce, cv_can_consume;
+  std::condition_variable cv_can_produce, cv_can_consume, cv_idle;
   std::thread producer;
   std::atomic<bool> running{false};
   std::atomic<bool> eof{false};
   std::atomic<int> error{0};
+  // Consumers inside a blocking call (fp_acquire); fp_close waits for this
+  // to reach zero after stop() so a woken waiter never touches freed state.
+  size_t active_calls = 0;
 
   ~Pump() { stop_and_free(); }
 
-  void stop_and_free() {
+  // Phase 1 of shutdown: stop the producer and wake every blocked waiter.
+  // Safe to call from ANY thread, any number of times; after it returns,
+  // blocked fp_acquire calls return null promptly.
+  void stop() {
     {
       std::unique_lock<std::mutex> lk(mu);
       running.store(false);
@@ -70,6 +76,16 @@ struct Pump {
       cv_can_consume.notify_all();
     }
     if (producer.joinable()) producer.join();
+  }
+
+  void stop_and_free() {
+    stop();
+    {
+      // Phase 2: drain in-flight consumers before freeing (a consumer woken
+      // from the cv still holds/reacquires the mutex on its way out).
+      std::unique_lock<std::mutex> lk(mu);
+      cv_idle.wait(lk, [&] { return active_calls == 0; });
+    }
     for (auto* p : slots) std::free(p);
     slots.clear();
     if (f) {
@@ -177,11 +193,13 @@ int fp_start(void* h, int n_slots) {
 const uint8_t* fp_acquire(void* h) {
   auto* p = static_cast<Pump*>(h);
   std::unique_lock<std::mutex> lk(p->mu);
+  ++p->active_calls;
   p->cv_can_consume.wait(lk, [&] {
     return p->count > 0 || p->eof.load() || !p->running.load();
   });
-  if (p->count == 0) return nullptr;  // drained + eof/stopped
-  return p->slots[p->tail];
+  const uint8_t* r = (p->count == 0) ? nullptr : p->slots[p->tail];
+  if (--p->active_calls == 0) p->cv_idle.notify_all();
+  return r;
 }
 
 // Return the borrowed slot to the producer.
@@ -213,6 +231,17 @@ uint64_t fp_frames_buffered(void* h) {
 
 int fp_error(void* h) { return static_cast<Pump*>(h)->error.load(); }
 
+// Phase-1 shutdown, callable from ANY thread: stops the producer and wakes
+// every waiter (blocked fp_acquire calls return null promptly). Idempotent.
+void fp_stop(void* h) { static_cast<Pump*>(h)->stop(); }
+
+// Destroys the pump. THREADING CONTRACT: the handle itself dangles after
+// this call, so the caller must guarantee no fp_* call on this handle can
+// START after fp_close begins (e.g. call fp_stop first from the shutting-
+// down thread, then fp_close once consumers are known to have returned —
+// the Python wrapper's close() does exactly this). Consumers already
+// INSIDE a blocking fp_acquire are handled: fp_close waits until they
+// leave before freeing.
 void fp_close(void* h) { delete static_cast<Pump*>(h); }
 
 // Writer utility: create a .rawv file from caller-provided frames.

@@ -59,3 +59,61 @@ def canny_to_stage_pallas(
             scan_after=cfg.hysteresis_scan_after,
         )
     return out
+
+
+def canny_all_stages_pallas(
+    frame: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+    interpret: bool = False,
+):
+    """Every stage buffer, with each integer display buffer produced by the
+    PALLAS kernel (the reference keeps all intermediaries for display,
+    README.md:22; round-1 silently ran XLA for this mode). The fused kernel
+    emits one stage per invocation, so this runs it once per requested
+    stage — all-stages display is a debug/visualisation mode and may cost a
+    few kernel passes. The float inspection planes (sobel_x/y, grad, slope)
+    are display-only derivations computed by XLA from the kernel's own blur
+    buffer (bit-exact inputs; see docs/parity.md)."""
+    from cudacam_tpu.ops.bitpack import hysteresis_packed as _hp
+
+    mono = xla_ops.rgb2mono(frame)
+
+    def ff(stage):
+        return feed_forward_to_stage(
+            mono,
+            low,
+            high,
+            kernel_size=cfg.kernel_size,
+            grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm,
+            parity=cfg.parity,
+            out_stage=stage,
+            interpret=interpret,
+        )
+
+    blur = ff(CannyStage.GAUSSIAN)
+    thresh = ff(CannyStage.THRESH)
+    sum_x, sum_y = xla_ops.sobel_sums(blur)
+    inv8 = jnp.float32(0.125)
+    sx = sum_x.astype(jnp.float32) * inv8
+    sy = sum_y.astype(jnp.float32) * inv8
+    grad, slope = xla_ops.grad_slope(sx, sy, cfg.grad_coeff, cfg.norm)
+    return {
+        "mono": mono,
+        "gaussian": blur,
+        "sobel_x": sx,
+        "sobel_y": sy,
+        "grad": grad,
+        "slope": slope,
+        "gradient_display": ff(CannyStage.GRADIENT),
+        "nms": ff(CannyStage.NMS),
+        "thresh": thresh,
+        "hyster": _hp(
+            thresh,
+            max_iters=cfg.max_hysteresis_iters,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+        ),
+    }

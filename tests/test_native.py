@@ -138,3 +138,52 @@ class TestRawvSource:
             assert n == 6
             out = app.ring.latest_np()
             assert out.shape == (32, 48) and out.dtype == np.uint8
+
+
+class TestShutdownContract:
+    """fp_stop/fp_close threading contract (framepump.cpp): a consumer
+    blocked in acquire() is woken by a cross-thread stop() and the
+    subsequent close() must not touch freed state (ADVICE r1)."""
+
+    def test_cross_thread_stop_unblocks_acquire(self, tmp_path):
+        import threading
+        import time as _time
+
+        from cudacam_tpu.native import FramePump, write_rawv
+
+        frames = np.zeros((2, 8, 8), np.uint8)
+        path = write_rawv(str(tmp_path / "s.rawv"), frames)
+        pump = FramePump(path, ring_slots=2)
+        # Drain both frames; next acquire would block forever on a looped
+        # stream — use loop=True to force the blocking case.
+        pump.close()
+
+        pump = FramePump(path, loop=True, ring_slots=2)
+        seen = []
+
+        def consumer():
+            while True:
+                v = pump.acquire()
+                if v is None:
+                    break
+                seen.append(1)
+                if len(seen) >= 8:
+                    _time.sleep(0.05)  # let the ring refill, then block
+        t = threading.Thread(target=consumer)
+        t.start()
+        _time.sleep(0.2)
+        pump.stop()          # cross-thread: must wake the blocked acquire
+        t.join(timeout=5)
+        assert not t.is_alive()
+        assert len(seen) >= 8
+        pump.close()         # owner thread destroys after consumer exited
+
+    def test_stop_idempotent_and_close_after_stop(self, tmp_path):
+        from cudacam_tpu.native import FramePump, write_rawv
+
+        frames = np.zeros((1, 4, 4), np.uint8)
+        path = write_rawv(str(tmp_path / "t.rawv"), frames)
+        pump = FramePump(path, ring_slots=2)
+        pump.stop()
+        pump.stop()
+        pump.close()
