@@ -96,6 +96,12 @@ def cmd_run(args: argparse.Namespace) -> int:
             # leak"): upload N frames once, cycle them device-resident.
             got = app.preload_device_loop(args.device_loop)
             print(f"device loop: cycling {got} preloaded frames")
+        keys = None
+        if args.interactive:
+            from cudacam_tpu.io.keys import KeyController
+
+            keys = KeyController(app)
+            keys.start()
         import contextlib
 
         tracer = app.engine.trace(args.trace) if args.trace else contextlib.nullcontext()
@@ -124,6 +130,8 @@ def cmd_run(args: argparse.Namespace) -> int:
             n = n or (len(raw_frames) if raw_frames else 0)
         finally:
             dt = time.perf_counter() - t0
+            if keys is not None:
+                keys.stop()
             if server is not None:
                 server.stop()
             if raw_frames:
@@ -279,6 +287,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipeline_args(pr)
     pr.add_argument("--profile", action="store_true",
                     help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--interactive", action="store_true",
+                    help="terminal key controls on the running stream "
+                         "(space=pause, s=stage, p=pipeline, [/]/{/}= "
+                         "thresholds, m=mode, q=quit); needs a tty")
     pr.add_argument("--device-loop", type=int, default=None, metavar="N",
                     help="preload N frames to the device once and cycle "
                          "them (bounds host RAM on deployments whose "

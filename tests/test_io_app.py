@@ -338,3 +338,43 @@ class TestDeviceLoop:
         rc = cli_main(["run", "--source", "synthetic:24x32", "--frames", "12",
                        "--backend", "xla", "--device-loop", "3"])
         assert rc == 0
+
+
+class TestKeyControls:
+    """Terminal key bindings (imguiApp.cpp:180-194 analog): the dispatch
+    logic is pure and routes through apply_controls."""
+
+    def _app(self):
+        return CannyApp(SyntheticSource(height=24, width=32, n_frames=100))
+
+    def test_bindings(self):
+        from cudacam_tpu.io.keys import dispatch_key
+        from cudacam_tpu.stages import CannyStage
+
+        with self._app() as app:
+            assert dispatch_key(app, " ")["paused"] is True
+            assert dispatch_key(app, " ")["paused"] is False
+            s0 = app.stage
+            st = dispatch_key(app, "s")
+            assert st["stage"] == CannyStage((s0 + 1) % len(CannyStage)).name
+            assert dispatch_key(app, "p")["pipeline_enabled"] is False
+            assert dispatch_key(app, "p")["pipeline_enabled"] is True
+            lo0 = app.engine.get_low_threshold()
+            assert dispatch_key(app, "]")["low"] == lo0 + 5
+            assert dispatch_key(app, "[")["low"] == lo0
+            hi0 = app.engine.get_high_threshold()
+            assert dispatch_key(app, "}")["high"] == hi0 + 5
+            assert dispatch_key(app, "{")["high"] == hi0
+            m0 = app.display_mode
+            m1 = dispatch_key(app, "m")["display_mode"]
+            assert m1 != m0
+            assert dispatch_key(app, "t")["profiling"] is not None
+            assert dispatch_key(app, "x") is None  # unbound
+
+    def test_controller_noop_without_tty(self):
+        from cudacam_tpu.io.keys import KeyController
+
+        with self._app() as app:
+            kc = KeyController(app)
+            assert kc.start() is False  # pytest stdin is not a tty
+            kc.stop()
