@@ -20,6 +20,18 @@ if not os.environ.get("CUDACAM_TESTS_ON_TPU"):
     # Something in this environment re-registers the TPU plugin with priority
     # regardless of JAX_PLATFORMS; pin the platform list explicitly.
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles many shape-distinct
+# pipelines (the bit-packed hysteresis traces are large); caching compiled
+# executables across runs cuts repeat-suite wall time substantially.
+_cache_dir = os.environ.get("CUDACAM_TEST_COMPILE_CACHE",
+                            "/tmp/cudacam_jax_cache")
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is an optimization only
+    pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -18,6 +18,16 @@ from cudacam_tpu.ops.bitpack import (
 
 from cudacam_tpu.io.sources import make_spiral_thresh as make_spiral
 
+# One shared jit object for the whole file: eager execution of the packed
+# loop is hundreds of per-op dispatches on CPU, dominating suite time.
+hysteresis_packed = jax.jit(
+    hysteresis_packed,
+    static_argnames=(
+        "max_iters", "remove_candidates", "return_iters",
+        "dilate_steps", "scan_after",
+    ),
+)
+
 
 class TestPacking:
     @pytest.mark.parametrize("w", [1, 7, 32, 33, 100, 640])
