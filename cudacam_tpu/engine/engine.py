@@ -82,6 +82,11 @@ class _ResilientJit:
         )
 
     def __call__(self, *args):
+        if any(isinstance(a, jax.core.Tracer) for a in args):
+            # Under an outer trace (vmap/jit): tracers must go through the
+            # real jit (an AOT Compiled can't take tracers), and the
+            # fastpath bug is a dispatch-time issue that can't occur here.
+            return self._fn(*args)
         c = self._aot.get(self._sig(args)) if self._aot else None
         if c is not None:
             return c(*args)
@@ -304,19 +309,28 @@ class ThresholdControls:
 
     def set_low_threshold(self, low: int) -> None:
         self._low = max(0, min(int(low), self._high))
-        self._thresh_dev = None
 
     def set_high_threshold(self, high: int) -> None:
         self._high = min(self._cfg.threshold_cap, max(int(high), self._low))
-        self._thresh_dev = None
 
     def _thresholds(self) -> tuple:
-        if self._thresh_dev is None:
-            self._thresh_dev = (
-                jax.device_put(jnp.int32(self._low)),
-                jax.device_put(jnp.int32(self._high)),
+        """Device-resident threshold scalars, cached BY VALUE: the cache
+        entry carries the (low, high) it was built from and is rebuilt
+        whenever the current values differ. A None-sentinel invalidation
+        would race with concurrent setters (the /set endpoint and key
+        controller run on other threads): the run loop could overwrite a
+        concurrent invalidation and serve stale thresholds forever."""
+        cached = self._thresh_dev
+        lo, hi = self._low, self._high
+        if cached is None or cached[0] != lo or cached[1] != hi:
+            cached = (
+                lo,
+                hi,
+                jax.device_put(jnp.int32(lo)),
+                jax.device_put(jnp.int32(hi)),
             )
-        return self._thresh_dev
+            self._thresh_dev = cached
+        return cached[2], cached[3]
 
 
 class CannyEngine(ThresholdControls):
@@ -339,6 +353,7 @@ class CannyEngine(ThresholdControls):
         self._to_stage_fns: Dict[tuple, Callable] = {}
         self._all_stages_fns: Dict[bool, Callable] = {}
         self._stage_step_fns: Optional[Dict[str, Callable]] = None
+        self._profile_warmed: set = set()
         for name in CANNY_STAGE_NAMES.values():
             self._timers.create_timer(name)
         log.debug("engine created: %s backend=%s", config, self._backend)
@@ -506,8 +521,27 @@ class CannyEngine(ThresholdControls):
         and attribute stage k the increment t(k) - t(k-1), clamped at 0.
         Costs ~2x one frame (k programs) — profiling mode is allowed to.
         The reference's analog relaunches its kernel chain per stage too
-        (cannyEdgeH.cu:49-120 cumulative switch)."""
+        (cannyEdgeH.cu:49-120 cumulative switch).
+
+        The first profiled frame warms (compiles + runs) every stage
+        program OUTSIDE the timed loop: enabling profiling live would
+        otherwise freeze the stream for several remote-compile round trips
+        and record compile time as stage time. Note that on tunnel
+        deployments whose block_until_ready acks early (docs/performance.md)
+        these wall increments are indicative only — use
+        utils/devtime / tools/stage_breakdown.py for hardware truth there.
+        """
         import time as _time
+
+        key = ("cumwarm", batched, final_stage)
+        if key not in self._profile_warmed:
+            for stage in CannyStage:
+                if stage > final_stage:
+                    break
+                jax.block_until_ready(
+                    self._get_to_stage(stage, batched)(arr, lo, hi)
+                )
+            self._profile_warmed.add(key)
 
         names = CANNY_STAGE_NAMES
         prev = 0.0

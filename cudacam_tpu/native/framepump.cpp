@@ -55,6 +55,7 @@ struct Pump {
 
   std::mutex mu;
   std::condition_variable cv_can_produce, cv_can_consume, cv_idle;
+  std::mutex stop_mu;  // serializes concurrent stop()/close() (join races)
   std::thread producer;
   std::atomic<bool> running{false};
   std::atomic<bool> eof{false};
@@ -66,9 +67,12 @@ struct Pump {
   ~Pump() { stop_and_free(); }
 
   // Phase 1 of shutdown: stop the producer and wake every blocked waiter.
-  // Safe to call from ANY thread, any number of times; after it returns,
-  // blocked fp_acquire calls return null promptly.
+  // Safe to call from ANY thread, any number of times, including
+  // concurrently (stop_mu serializes the joinable/join pair — concurrent
+  // std::thread::join on one thread object is a data race); after it
+  // returns, blocked fp_acquire calls return null promptly.
   void stop() {
+    std::lock_guard<std::mutex> stop_lk(stop_mu);
     {
       std::unique_lock<std::mutex> lk(mu);
       running.store(false);

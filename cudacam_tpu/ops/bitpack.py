@@ -208,6 +208,9 @@ def hysteresis_packed(
     ``max_iters`` caps total rounds — the reference's 100-relaunch safety
     belt (cannyEdgeH.cu:313); one phase-1 round covers >= dilate_steps
     pixels of propagation, a phase-2 round additionally any monotone run.
+    Like the reference (which always launches once before reading the
+    flag), at least ONE round runs: max_iters=0 still propagates up to
+    dilate_steps pixels.
     """
     h, w = thresh.shape
     f = pack_mask(thresh == FINAL_EDGE)

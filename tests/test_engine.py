@@ -162,3 +162,21 @@ class TestCumulativeProfiling:
         assert e._profiling_mode_resolved() == "stages"
         e.profiling_mode = "cumulative"
         assert e._profiling_mode_resolved() == "cumulative"
+
+
+class TestThresholdCacheByValue:
+    def test_stale_cache_never_served(self, frame):
+        """The device-scalar cache is keyed BY VALUE: even a stale cache
+        tuple (the lost-update race with concurrent /set callers) cannot
+        be served once the values differ."""
+        e = CannyEngine(CannyConfig(height=48, width=64, backend="xla"))
+        lo, hi = e._thresholds()
+        assert int(lo) == 10 and int(hi) == 40
+        e.set_low_threshold(20)
+        lo2, _ = e._thresholds()
+        assert int(lo2) == 20
+        # Simulate a racing writer clobbering the cache with stale values:
+        e._thresh_dev = (10, 40, lo, hi)
+        e._low = 25
+        lo3, _ = e._thresholds()
+        assert int(lo3) == 25

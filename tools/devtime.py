@@ -1,52 +1,21 @@
-"""Trace-derived device timing: the only honest clock on this deployment.
-
-Wall-clock is unusable here: the tunnel's ``block_until_ready`` acknowledges
-before device execution completes (a 137-GFLOP matmul "finishes" in 8 us =
-17 PFLOP/s), and sustained loops stall on host-side pipeline effects instead
-of device work. The XProf device lane, however, carries hardware timestamps:
-the same matmul traces at 180 TFLOP/s =~ v5e bf16 peak, i.e. exact.
-
-``device_time_us(fn, *args)`` runs ``fn`` ``passes`` times under a profiler
-trace and returns total device-lane busy microseconds attributed to each
-top-level jit executable, divided by ``passes``.
+"""Trace-derived device timing for ad-hoc tools — thin shim over the
+package implementation (cudacam_tpu/utils/devtime.py), which owns the
+trace parsing; see its docstring for why wall clocks are unusable on this
+deployment. This wrapper keeps the per-executable dict API the tools use.
 """
 from __future__ import annotations
 
-import collections
-import glob
-import gzip
-import json
 import os
+import sys
 import tempfile
 import time
 from typing import Callable, Dict
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
-
-def _parse_device_events(logdir: str) -> Dict[str, float]:
-    files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    agg: Dict[str, float] = collections.defaultdict(float)
-    for fn in files:
-        with gzip.open(fn) as f:
-            tr = json.load(f)
-        evs = tr.get("traceEvents", [])
-        dev_pids = {
-            e["pid"]
-            for e in evs
-            if e.get("ph") == "M"
-            and e.get("name") == "process_name"
-            and "TPU" in e.get("args", {}).get("name", "")
-        }
-        for e in evs:
-            if (
-                e.get("ph") == "X"
-                and e.get("pid") in dev_pids
-                and e["name"].startswith("jit_")
-            ):
-                agg[e["name"].split("(")[0]] += e.get("dur", 0.0)
-    return dict(agg)
+from cudacam_tpu.utils.devtime import _parse_device_events  # noqa: E402
 
 
 def device_time_us(
@@ -55,16 +24,17 @@ def device_time_us(
     """Per-pass device busy time (us) of each jit executable ``fn`` invokes.
 
     ``fn(*args)`` must already be warm (compiled + every input dispatched
-    once). Returns {executable_name: us_per_pass}.
-    """
+    once). Returns {executable_name: us_per_pass}; empty when the trace has
+    no device lane (CPU)."""
     jax.block_until_ready(fn(*args))
     with tempfile.TemporaryDirectory() as logdir:
         with jax.profiler.trace(logdir):
             for _ in range(passes):
                 jax.block_until_ready(fn(*args))
             # Device work may still be draining when the host loop exits
-            # (readiness is acknowledged early); give it time to land inside
-            # the trace window.
+            # (readiness is acknowledged early); let it land in the window.
             time.sleep(settle_s)
         agg = _parse_device_events(logdir)
+    if not agg:
+        return {}
     return {k: v / passes for k, v in agg.items()}

@@ -22,10 +22,14 @@ from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
 from cudacam_tpu.stages import CannyStage
 from tools.devtime import device_time_us
 
+import numpy as np  # noqa: E402
+
 h, w = 1080, 1920
 cfg = CannyConfig(height=h, width=w)
 frame = jax.device_put(make_scene(h, w, seed=0))
-lo, hi = jnp.int32(10), jnp.int32(40)
+# numpy scalars, NOT module-level jnp scalars (see CLAUDE.md: device-array
+# closure constants can be hoisted into executable parameters).
+lo, hi = np.int32(10), np.int32(40)
 
 
 def named(name, f):
