@@ -79,24 +79,33 @@ def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
     return bits.reshape(h, ww * 32)[:, :width].astype(jnp.bool_)
 
 
+# Internal compute layout is the TRANSPOSE of the packed format: (Ww, H)
+# words-by-image-rows, so the image-row axis (length H, e.g. 1080) is the
+# minor/lane axis. XLA pads the minor axis to the 128-lane tile; with the
+# word axis minor (Ww = 60 at 1080p) every VPU op wasted 2.1x lanes —
+# transposing measured 21% faster hysteresis at 1080p (docs/performance.md).
+
+
 def _shift_words(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """out[:, i] = x[:, i-k], zero fill (whole-word = 32-pixel shifts)."""
+    """out[i, :] = x[i-k, :], zero fill (whole-word = 32-pixel shifts;
+    words are the MAJOR axis of the transposed compute layout)."""
     if k == 0:
         return x
-    ww = x.shape[1]
+    ww = x.shape[0]
     if k > 0:
-        return jnp.pad(x, ((0, 0), (k, 0)))[:, :ww]
-    return jnp.pad(x, ((0, 0), (0, -k)))[:, -k:]
+        return jnp.pad(x, ((k, 0), (0, 0)))[:ww]
+    return jnp.pad(x, ((0, -k), (0, 0)))[-k:]
 
 
 def _shift_rows(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """out[i, :] = x[i-k, :], zero fill."""
+    """out[:, i] = x[:, i-k], zero fill (image rows: the MINOR axis of the
+    transposed compute layout)."""
     if k == 0:
         return x
-    h = x.shape[0]
+    h = x.shape[1]
     if k > 0:
-        return jnp.pad(x, ((k, 0), (0, 0)))[:h]
-    return jnp.pad(x, ((0, -k), (0, 0)))[-k:]
+        return jnp.pad(x, ((0, 0), (k, 0)))[:, :h]
+    return jnp.pad(x, ((0, 0), (0, -k)))[:, -k:]
 
 
 def _shift_px(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -213,8 +222,10 @@ def hysteresis_packed(
     dilate_steps pixels.
     """
     h, w = thresh.shape
-    f = pack_mask(thresh == FINAL_EDGE)
-    p = pack_mask(thresh == CANDIDATE_EDGE)
+    # Transposed compute layout (see _shift_words): one 260 KB transpose
+    # each way, 21% less VPU time every round.
+    f = pack_mask(thresh == FINAL_EDGE).T
+    p = pack_mask(thresh == CANDIDATE_EDGE).T
     dilates, scans = _make_ops(h, w, dilate_steps)
 
     def count(f):
@@ -249,7 +260,7 @@ def hysteresis_packed(
     # Entered only if phase 1 hit its round cap while still growing.
     f_fix, _, _, iters = jax.lax.while_loop(cond2, body2, state)
 
-    reached = unpack_mask(f_fix, w)
+    reached = unpack_mask(f_fix.T, w)
     if remove_candidates:
         out = jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
     else:

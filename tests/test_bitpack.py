@@ -42,8 +42,9 @@ class TestPacking:
     def test_shift_px(self, s, sign):
         rng = np.random.default_rng(s)
         m = rng.random((5, 200)) < 0.4
+        # helpers operate on the transposed (Ww, H) compute layout
         shifted = np.asarray(
-            unpack_mask(_shift_px(pack_mask(jnp.asarray(m)), sign * s), 200)
+            unpack_mask(_shift_px(pack_mask(jnp.asarray(m)).T, sign * s).T, 200)
         )
         want = np.zeros_like(m)
         if sign > 0:
@@ -58,7 +59,7 @@ class TestPacking:
         rng = np.random.default_rng(abs(s))
         m = rng.random((11, 64)) < 0.4
         shifted = np.asarray(
-            unpack_mask(_shift_rows(pack_mask(jnp.asarray(m)), s), 64)
+            unpack_mask(_shift_rows(pack_mask(jnp.asarray(m)).T, s).T, 64)
         )
         want = np.zeros_like(m)
         if s > 0:
