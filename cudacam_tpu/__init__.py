@@ -9,7 +9,7 @@ exchange over ICI for multi-chip / multi-host scaling.
 from cudacam_tpu.config import CannyConfig
 from cudacam_tpu.stages import CANDIDATE_EDGE, CANNY_STAGE_NAMES, FINAL_EDGE, NO_EDGE, CannyStage
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CannyConfig",

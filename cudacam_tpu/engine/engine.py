@@ -46,11 +46,9 @@ ArrayLike = Union[np.ndarray, jax.Array]
 def _resolve_backend(backend: str) -> str:
     if backend != "auto":
         return backend
-    # Pallas kernels on real TPU: fastest where kernel cost is visible
-    # (amortized in-program and batched throughput); single synchronous
-    # dispatches sit at the host dispatch floor on either backend, so the
-    # streaming rows of BENCH_TABLE.md bounce within noise of each other.
-    # Portable XLA everywhere else (CPU tests, interpret-free).
+    # Pallas kernels on real TPU: 0.22 vs 0.31 ms/frame device time at
+    # 1080p (BENCH_TABLE.md, trace-derived). Portable XLA everywhere else
+    # (CPU tests, interpret-free).
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no devices at all

@@ -28,3 +28,10 @@ def test_custom_source_example(capsys):
 def test_sharded_example(capsys):
     out = _run("sharded_megaframe.py", capsys)
     assert "sharded edge maps:" in out
+
+
+def test_live_controls_example(capsys):
+    out = _run("live_controls.py", capsys)
+    assert "thresholds -> 40/160" in out
+    assert "paused: True" in out
+    assert "processed" in out

@@ -231,6 +231,19 @@ if fn._cache_size() != n_before:
 if not np.array_equal(out2, oracle.canny_pipeline(frame, 20, 60)["hyster"]):
     failures.append("engine thresholds")
 
+# process_all on the pallas backend: every stage buffer from the Pallas
+# kernel must match the oracle's (README.md:22 keep-every-intermediary).
+allb = eng.process_all(frame)
+oref = oracle.canny_pipeline(frame, 20, 60)
+for key in ("mono", "gaussian", "gradient_display", "nms", "thresh", "hyster"):
+    got = np.asarray(allb[key])
+    if not np.array_equal(got, oref[key]):
+        failures.append(f"process_all {key} n={(got != oref[key]).sum()}")
+for key in ("sobel_x", "sobel_y", "grad", "slope"):
+    got = np.asarray(allb[key])
+    if not np.allclose(got, oref[key], rtol=1e-5, atol=1e-4):
+        failures.append(f"process_all float {key}")
+
 if failures:
     print("FAIL:" + ";".join(failures))
     sys.exit(1)
