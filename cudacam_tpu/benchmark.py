@@ -245,7 +245,10 @@ def full_table() -> None:
         "see docs/performance.md). `wall` is host wall-clock, reported "
         "for reference only: the tunnel acknowledges readiness before "
         "execution completes, so wall times can under- OR over-state "
-        "device cost arbitrarily.",
+        "device cost arbitrarily. The `vs` column divides the UNSCALED "
+        "6 ms 1080p baseline; mega-frame rows process 4x/16x the pixels "
+        "(multiply accordingly for per-pixel comparisons), and the spiral "
+        "row is a worst-case input no natural scene produces.",
         "",
         "| Benchmark | device ms/frame | wall ms/frame | vs 6 ms baseline | Note |",
         "|---|---|---|---|---|",
@@ -255,6 +258,28 @@ def full_table() -> None:
         lines.append(
             f"| {name} | {d} | {wall_ms:.4f} | {speedup:.1f}x | {note} |"
         )
+
+    # Roofline appendix (VERDICT r1: publish achieved GB/s vs chip peak).
+    mono_row = next((r for r in rows if "stage MONO" in r[0] and r[1]), None)
+    if mono_row is not None:
+        mono_ms = mono_row[1]
+        traffic_mb = (h * w * 3 + (h + 16) * 2176) / 1e6  # BGR read + padded mono write
+        gbs = traffic_mb / 1e3 / (mono_ms / 1e3)
+        lines += [
+            "",
+            "## Roofline (1080p, measured)",
+            "",
+            f"- mono+pad pass: {traffic_mb:.1f} MB in {mono_ms*1e3:.1f} us "
+            f"= **{gbs:.0f} GB/s achieved** (v5e HBM peak ~819 GB/s -> "
+            f"{100*gbs/819:.0f}% — an elementwise u8 pass is near the bound).",
+            "- fused feed-forward kernel: DMA floor measured at ~9 us "
+            "(copy-only kernel variant); the full chain is VPU-bound on "
+            "stencil rolls, not HBM-bound (per-op roll costs in "
+            "docs/performance.md).",
+            "- bit-packed hysteresis: the whole state (~260 KB) lives in "
+            "VMEM; rounds are VPU-bound at ~0.8 us per bit-parallel "
+            "dilation (32 px/lane).",
+        ]
     with open("BENCH_TABLE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote BENCH_TABLE.md")
