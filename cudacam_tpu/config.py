@@ -76,12 +76,19 @@ class CannyConfig:
     # (ops/bitpack.py); identical across backends, so outputs stay
     # bit-identical even when the cap truncates.
     max_hysteresis_iters: int = 100
-    # Bit-parallel dilations fused per round/convergence check.
-    hysteresis_inner_steps: int = 16
+    # Bit-parallel dilations fused per round/convergence check. Default
+    # (None) scales with the frame diameter — 16 at <=1080p, 32 at 4K, 64
+    # at 8K — so real scenes converge in ~10 rounds at every resolution
+    # (propagation depth grows with resolution; measured on 4K scenes this
+    # halves hysteresis time vs a fixed 16, tools/hyster_breakdown.py).
+    hysteresis_inner_steps: Optional[int] = None
     # Rounds of pure dilation before escalating to the 8-direction
-    # carry-lookahead scans (long straight candidate runs); tuned on real
-    # scenes (docs/performance.md).
-    hysteresis_scan_after: int = 10
+    # carry-lookahead scans (long straight candidate runs). Real scenes
+    # converge in ~10 rounds (with the diameter-scaled inner steps above),
+    # and a scan round costs ~4x a dilation round and rarely shortens
+    # scene convergence (tools/hyster_breakdown.py) — so escalation sits
+    # just past typical convergence, as the adversarial safety valve.
+    hysteresis_scan_after: int = 12
 
     # --- execution -------------------------------------------------------
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
@@ -106,6 +113,15 @@ class CannyConfig:
             raise ValueError("grad_coeff must be 1, 2, 4 or 8")
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
+        if self.hysteresis_inner_steps is None:
+            # Derived default: one fused-dilation round covers ~1/128th of
+            # the frame diameter (frozen dataclass, hence object.__setattr__).
+            side = max(self.height, self.width)
+            object.__setattr__(
+                self, "hysteresis_inner_steps", 16 * -(-side // 2048)
+            )
+        elif self.hysteresis_inner_steps < 1:
+            raise ValueError("hysteresis_inner_steps must be >= 1")
         cap = self.threshold_cap
         if not (0 <= self.low_threshold <= cap) or not (
             0 <= self.high_threshold <= cap

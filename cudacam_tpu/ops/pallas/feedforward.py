@@ -140,11 +140,19 @@ def _valid_mask_i32(i, row0, col0, shape: Tuple[int, int], bh: int,
     """0/1 int32 mask of slab positions inside the global image. Slab [0,0]
     sits at global pixel (row0 + i*bh - PAD_R, col0 - PAD_C); (row0, col0)
     is the caller's tile origin within the global image (nonzero when the
-    input is one halo-extended shard of a sharded frame)."""
-    rows = row0 + i * bh - PAD_R + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = col0 - PAD_C + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    ok = (rows >= 0) & (rows < height) & (cols >= 0) & (cols < width)
-    return ok.astype(jnp.int32)
+    input is one halo-extended shard of a sharded frame).
+
+    Built as the outer product of 1-D row/column masks: the iota/compare
+    work runs on (rows, 1) and (1, cols) strips, so only ONE op (the
+    broadcasting multiply) touches the full slab — the naive 2-D
+    iota+compare form costs ~7 full-slab VPU passes."""
+    rows = row0 + i * bh - PAD_R + jax.lax.broadcasted_iota(
+        jnp.int32, (shape[0], 1), 0
+    )
+    cols = col0 - PAD_C + jax.lax.broadcasted_iota(jnp.int32, (1, shape[1]), 1)
+    rows_ok = ((rows >= 0) & (rows < height)).astype(jnp.int32)
+    cols_ok = ((cols >= 0) & (cols < width)).astype(jnp.int32)
+    return rows_ok * cols_ok
 
 
 def _kernel_body(
@@ -223,10 +231,14 @@ def _kernel_body(
     bl = _lan(blur, -1)  # blur[r, c-1]
     br = _lan(blur, 1)   # blur[r, c+1]
     hsm = bl + 2 * blur + br
-    sum_y = (_sub(hsm, -1) - _sub(hsm, 1)) * valid
+    sum_y = _sub(hsm, -1) - _sub(hsm, 1)
     vsm_l = _sub(bl, -1) + 2 * bl + _sub(bl, 1)
     vsm_r = _sub(br, -1) + 2 * br + _sub(br, 1)
-    sum_x = (vsm_r - vsm_l) * valid
+    sum_x = vsm_r - vsm_l
+    # sum_x/sum_y are NOT masked here: every emitted center pixel is
+    # in-image, so only the neighbor-valued arrays derived from them need
+    # out-of-image zeroing — one mask multiply on g (below) covers the NMS
+    # neighborhood reads, replacing two full-slab multiplies with one.
 
     # Exact uint8 magnitude: isqrt via f32 sqrt + integer fixup (values
     # < 2^24 so the float path is exact; see oracle.nms_magnitude_u8).
@@ -250,10 +262,12 @@ def _kernel_body(
         return
 
     # --- 4/6 NMS (cannyEdgeD.cu:201-270): Q15 sector bins, ties kept -------
+    # g is masked (zero outside the image) because its *rolled* values are
+    # the NMS neighborhood — the reference's zero-padded tile fill.
     if norm == "l2":
-        g = sum_x * sum_x + sum_y * sum_y
+        g = (sum_x * sum_x + sum_y * sum_y) * valid
     else:
-        g = jnp.abs(sum_x) + jnp.abs(sum_y)
+        g = (jnp.abs(sum_x) + jnp.abs(sum_y)) * valid
 
     # Diagonal neighbors derive from the (expensive) lane-rolled gl/gr via
     # (cheap) sublane rolls: only 2 lane rolls for the whole 8-neighborhood.

@@ -37,6 +37,25 @@ class TestPacking:
         rt = np.asarray(unpack_mask(pack_mask(jnp.asarray(m)), w))
         assert (rt == m).all()
 
+    @pytest.mark.parametrize("w", [32, 96, 131])
+    def test_word_values_lsb_first(self, w):
+        """Pin the word-level layout (bit j of word k = column 32k+j), not
+        just roundtrip consistency: the SWAR bitcast gather depends on
+        little-endian byte order, and a platform where that differed would
+        silently flip sub-word shift directions."""
+        rng = np.random.default_rng(w)
+        m = rng.random((5, w)) < 0.5
+        got = np.asarray(pack_mask(jnp.asarray(m)))
+        ww = -(-w // 32)
+        padded = np.zeros((5, ww * 32), bool)
+        padded[:, :w] = m
+        want = (
+            np.packbits(padded, axis=1, bitorder="little")
+            .view("<u4")
+            .reshape(5, ww)
+        )
+        np.testing.assert_array_equal(got, want)
+
     @pytest.mark.parametrize("s", [1, 2, 5, 31, 32, 33, 64, 100])
     @pytest.mark.parametrize("sign", [1, -1])
     def test_shift_px(self, s, sign):
