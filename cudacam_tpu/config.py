@@ -77,10 +77,11 @@ class CannyConfig:
     # bit-identical even when the cap truncates.
     max_hysteresis_iters: int = 100
     # Bit-parallel dilations fused per round/convergence check. Default
-    # (None) scales with the frame diameter — 16 at <=1080p, 32 at 4K, 64
-    # at 8K — so real scenes converge in ~10 rounds at every resolution
-    # (propagation depth grows with resolution; measured on 4K scenes this
-    # halves hysteresis time vs a fixed 16, tools/hyster_breakdown.py).
+    # (None): 16 at <=1080p, 32 on mega-frames. The optimum tracks the
+    # SCENE's propagation depth, not the frame diameter (measured 4K
+    # scenes want ~48, 8K scenes ~16 — tools/hyster_breakdown.py and the
+    # ds/sa sweep in docs/performance.md), so the default stays a robust
+    # middle and the knob is exposed for depth-atypical content.
     hysteresis_inner_steps: Optional[int] = None
     # Rounds of pure dilation before escalating to the 8-direction
     # carry-lookahead scans (long straight candidate runs). Real scenes
@@ -114,11 +115,15 @@ class CannyConfig:
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
         if self.hysteresis_inner_steps is None:
-            # Derived default: one fused-dilation round covers ~1/128th of
-            # the frame diameter (frozen dataclass, hence object.__setattr__).
+            # Derived default (frozen dataclass, hence object.__setattr__):
+            # 32 on mega-frames amortizes the per-round convergence check
+            # over their bigger state; capped there because scene depth
+            # does NOT grow with the diameter (8K scenes measured FASTER
+            # at 16 than 64 — the waste of overshooting convergence grows
+            # with both the step count and the state size).
             side = max(self.height, self.width)
             object.__setattr__(
-                self, "hysteresis_inner_steps", 16 * -(-side // 2048)
+                self, "hysteresis_inner_steps", 16 if side <= 2048 else 32
             )
         elif self.hysteresis_inner_steps < 1:
             raise ValueError("hysteresis_inner_steps must be >= 1")

@@ -77,6 +77,16 @@ _MAGIC_DIV: dict[int, Tuple[int, int]] = {
 #: slabs and pipelined output blocks.
 _VMEM_BUDGET = 13_000_000
 
+#: Effective number of concurrently-live slab-shaped int32 arrays to budget
+#: for. The fused chain NAMES ~16 slab arrays, but Mosaic frees each as its
+#: last consumer retires, so only ~6 are ever simultaneously live — probed
+#: on hardware: slabs of 2.3 MB (8K bh=56) compile and run, 2.8 MB (8K
+#: bh=72, 1080p bh=360) exhaust VMEM. 6 × 13 MB/6 = 2.17 MB/slab keeps a
+#: margin under the measured ceiling. Budgeting 16 instead costs real
+#: bandwidth: it forces 8-row slabs at 8K, whose 16 padding rows per slab
+#: triple the DMA traffic (measured 2075 -> 1119 us at bh=48).
+_LIVE_SLABS = 6
+
 
 def _pick_block_h(h: int, row_bytes: int, live_arrays: int,
                   pad_rows: int) -> int:
@@ -380,8 +390,7 @@ def feed_forward_to_stage(
             [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
         )
     sw = _slab_w(w)
-    # ~16 slab-shaped int32 arrays are live at the NMS peak.
-    bh = block_h or _pick_block_h(h, sw * 4, 16, PAD_R)
+    bh = block_h or _pick_block_h(h, sw * 4, _LIVE_SLABS, PAD_R)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
 

@@ -21,6 +21,7 @@ import pytest
 
 from cudacam_tpu.config import GAUSSIAN_TAPS, gaussian_kernel_sum
 from cudacam_tpu.ops.pallas.feedforward import (
+    _LIVE_SLABS,
     _MAGIC_DIV,
     _pick_block_h,
     _slab_w,
@@ -51,10 +52,13 @@ class TestSlabGeometry:
     @pytest.mark.parametrize("w", [640, 1920, 3840, 7680])
     def test_block_h_fits_budget(self, h, w):
         sw = _slab_w(w)
-        bh = _pick_block_h(h, sw * 4, 16, PAD_R)
+        bh = _pick_block_h(h, sw * 4, _LIVE_SLABS, PAD_R)
         assert bh % 8 == 0 and bh >= 8
-        # Working set stays under the scoped-VMEM stack limit.
-        assert (bh + 2 * PAD_R) * sw * 4 * 16 <= 16_000_000
+        # Each slab array stays under the hardware-probed ceiling: 2.3 MB
+        # slabs compile and run, 2.8 MB exhausts scoped VMEM (the chain
+        # keeps ~_LIVE_SLABS arrays simultaneously live, not one per named
+        # intermediate — see feedforward._LIVE_SLABS).
+        assert (bh + 2 * PAD_R) * sw * 4 <= 2_300_000
 
     @pytest.mark.parametrize("w", [64, 211, 640, 1280, 1920, 3840])
     def test_slab_w_alignment(self, w):
