@@ -79,13 +79,16 @@ _VMEM_BUDGET = 13_000_000
 
 #: Effective number of concurrently-live slab-shaped int32 arrays to budget
 #: for. The fused chain NAMES ~16 slab arrays, but Mosaic frees each as its
-#: last consumer retires, so only ~6 are ever simultaneously live — probed
-#: on hardware: slabs of 2.3 MB (8K bh=56) compile and run, 2.8 MB (8K
-#: bh=72, 1080p bh=360) exhaust VMEM. 6 × 13 MB/6 = 2.17 MB/slab keeps a
-#: margin under the measured ceiling. Budgeting 16 instead costs real
-#: bandwidth: it forces 8-row slabs at 8K, whose 16 padding rows per slab
-#: triple the DMA traffic (measured 2075 -> 1119 us at bh=48).
-_LIVE_SLABS = 6
+#: last consumer retires, so only ~6-8 are ever simultaneously live —
+#: probed on hardware: standalone, 2.3 MB slabs (8K bh=56) compile and run
+#: while 2.8 MB (8K bh=72, 1080p bh=360) exhaust VMEM; fused into the
+#: engine's mono+pipeline program the same kernel's scoped accounting grows
+#: ~10% (1080p bh=216 = 2.0 MB slabs: 15.x MB standalone, 17.5 MB fused ->
+#: OOM), so the budget assumes 8 live slabs (max 1.6 MB each) for margin in
+#: every context. Budgeting 16 costs real bandwidth: it forces 8-row slabs
+#: at 8K, whose 16 padding rows per slab triple the DMA traffic (measured
+#: 2075 -> ~1150 us at bh=32-48).
+_LIVE_SLABS = 8
 
 
 def _pick_block_h(h: int, row_bytes: int, live_arrays: int,

@@ -54,11 +54,12 @@ class TestSlabGeometry:
         sw = _slab_w(w)
         bh = _pick_block_h(h, sw * 4, _LIVE_SLABS, PAD_R)
         assert bh % 8 == 0 and bh >= 8
-        # Each slab array stays under the hardware-probed ceiling: 2.3 MB
-        # slabs compile and run, 2.8 MB exhausts scoped VMEM (the chain
-        # keeps ~_LIVE_SLABS arrays simultaneously live, not one per named
-        # intermediate — see feedforward._LIVE_SLABS).
-        assert (bh + 2 * PAD_R) * sw * 4 <= 2_300_000
+        # Each slab array stays under the hardware-probed ceiling with the
+        # fused-engine margin: 2.0 MB slabs OOM scoped VMEM inside the
+        # engine program (the chain keeps ~_LIVE_SLABS arrays
+        # simultaneously live, not one per named intermediate — see
+        # feedforward._LIVE_SLABS).
+        assert (bh + 2 * PAD_R) * sw * 4 <= 1_700_000
 
     @pytest.mark.parametrize("w", [64, 211, 640, 1280, 1920, 3840])
     def test_slab_w_alignment(self, w):
