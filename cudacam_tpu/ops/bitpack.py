@@ -62,26 +62,100 @@ def _bit_iota() -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
 
 
+#: Cap on the uint32 scratch a single pack/unpack pass may expand to
+#: (bytes). Within this size XLA keeps the expansion on-chip (the whole
+#: 1080p frame, 8.3 MB, compiles with an S(1)/VMEM placement and the pass
+#: runs at ~480 GB/s); far past it the expansion falls off-chip and every
+#: packed word costs an extra 32-byte HBM round trip (measured 8K:
+#: 872 us unchunked vs 373 us for the fused pair-pack chunked at this
+#: budget — the best of the chunk sizes swept on hardware).
+_PACK_CHUNK_BYTES = 16_500_000
+
+
+def _chunk_rows(fn, x: jnp.ndarray, h: int, row_bytes: int) -> jnp.ndarray:
+    """Apply ``fn`` (rows-of-x -> rows-of-result) over row chunks sized so
+    each chunk's uint32 expansion stays on-chip; single call when the whole
+    array fits. Chunking is a ``lax.map`` over an (nb, rows, ...) reshape —
+    rows are independent in both pack directions, so zero-padding ``h`` up
+    to the chunk grid and slicing the result back is exact."""
+    if h * row_bytes <= _PACK_CHUNK_BYTES:
+        return fn(x)
+    rows = max(8, (_PACK_CHUNK_BYTES // row_bytes) // 8 * 8)
+    nb = -(-h // rows)
+    xp = jnp.pad(x, ((0, nb * rows - h), (0, 0)))
+    out = jax.lax.map(fn, xp.reshape(nb, rows, x.shape[1]))
+    return out.reshape(nb * rows, -1)[:h]
+
+
 def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
     """Pack a (H, W) boolean mask into (H, ceil(W/32)) uint32 words,
     LSB-first (bit j of word k = column k*32 + j).
 
-    The (H, Ww, 32) shift-and-reduce looks naive but measures FASTER on
+    The (rows, Ww, 32) shift-and-reduce looks naive but measures FASTER on
     TPU than a bitcast+SWAR nibble-gather chain (18 us vs 104 us at 1080p,
     tools/hyster_breakdown.py): the 3-D byte bitcasts force Mosaic
-    relayouts, while XLA fuses this form into one pass."""
+    relayouts, while XLA fuses this form into one pass. On mega-frames the
+    pass runs row-chunked so its uint32 expansion stays on-chip (see
+    _PACK_CHUNK_BYTES)."""
     h, w = mask.shape
     ww = -(-w // 32)
     m = jnp.pad(mask, ((0, 0), (0, ww * 32 - w)))
-    m = m.reshape(h, ww, 32).astype(jnp.uint32)
-    return jnp.sum(m << _bit_iota(), axis=-1, dtype=jnp.uint32)
+
+    def pack_rows(rows_bool):
+        r = rows_bool.shape[0]
+        expanded = rows_bool.reshape(r, ww, 32).astype(jnp.uint32)
+        return jnp.sum(expanded << _bit_iota(), axis=-1, dtype=jnp.uint32)
+
+    return _chunk_rows(pack_rows, m, h, ww * 32 * 4)
 
 
 def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
     """Inverse of pack_mask: (H, Ww) uint32 -> (H, width) bool."""
     h, ww = words.shape
-    bits = (words[:, :, None] >> _bit_iota()) & np.uint32(1)
-    return bits.reshape(h, ww * 32)[:, :width].astype(jnp.bool_)
+
+    def unpack_rows(rows_u32):
+        bits = (rows_u32[:, :, None] >> _bit_iota()) & np.uint32(1)
+        # -> bool INSIDE the chunk: a full-frame uint32 bit plane is the
+        # exact off-chip expansion the chunking exists to avoid.
+        return bits.reshape(rows_u32.shape[0], ww * 32).astype(jnp.bool_)
+
+    return _chunk_rows(unpack_rows, words, h, ww * 32 * 4)[:, :width]
+
+
+def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack the FINAL and CANDIDATE masks of a (H, W) uint8 threshold map
+    in ONE chunked pass over the input (the two separate pack_mask calls
+    would read ``thresh`` twice), returning both planes in the TRANSPOSED
+    (Ww, H) compute layout. 8K: 872 us as two pack_mask calls -> 373 us."""
+    h, w = thresh.shape
+    ww = -(-w // 32)
+
+    def pair_rows(t_rows):
+        r = t_rows.shape[0]
+        tr = t_rows.reshape(r, ww, 32)
+        io = _bit_iota()
+        f = jnp.sum(
+            (tr == np.uint8(FINAL_EDGE)).astype(jnp.uint32) << io,
+            axis=-1, dtype=jnp.uint32,
+        )
+        p = jnp.sum(
+            (tr == np.uint8(CANDIDATE_EDGE)).astype(jnp.uint32) << io,
+            axis=-1, dtype=jnp.uint32,
+        )
+        # Stack so _chunk_rows sees one array out per chunk.
+        return jnp.stack([f, p])
+
+    row_bytes = ww * 32 * 4
+    tp = jnp.pad(thresh, ((0, 0), (0, ww * 32 - w))) if w != ww * 32 else thresh
+    if h * row_bytes <= _PACK_CHUNK_BYTES:
+        fp = pair_rows(tp)
+        return fp[0].T, fp[1].T
+    rows = max(8, (_PACK_CHUNK_BYTES // row_bytes) // 8 * 8)
+    nb = -(-h // rows)
+    tp = jnp.pad(tp, ((0, nb * rows - h), (0, 0)))
+    fp = jax.lax.map(pair_rows, tp.reshape(nb, rows, ww * 32))
+    fp = fp.transpose(1, 0, 2, 3).reshape(2, nb * rows, ww)[:, :h]
+    return fp[0].T, fp[1].T
 
 
 # Internal compute layout is the TRANSPOSE of the packed format: (Ww, H)
@@ -228,9 +302,9 @@ def hysteresis_packed(
     """
     h, w = thresh.shape
     # Transposed compute layout (see _shift_words): one 260 KB transpose
-    # each way, 21% less VPU time every round.
-    f = pack_mask(thresh == FINAL_EDGE).T
-    p = pack_mask(thresh == CANDIDATE_EDGE).T
+    # each way, 21% less VPU time every round. pack_pair reads thresh once
+    # for both masks (chunked on mega-frames).
+    f, p = pack_pair(thresh)
     dilates, scans = _make_ops(h, w, dilate_steps)
 
     def count(f):

@@ -56,6 +56,46 @@ class TestPacking:
         )
         np.testing.assert_array_equal(got, want)
 
+    def test_chunked_path_matches_unchunked(self):
+        """Mega-frame masks take the row-chunked pack/unpack path (the u32
+        expansion must stay on-chip, bitpack._PACK_CHUNK_BYTES); its output
+        must be bit-identical to the single-pass form, including at a
+        height that does NOT divide the chunk grid (exercises the zero-pad
+        + slice-back)."""
+        from cudacam_tpu.ops import bitpack
+
+        h, w = 601, 7680  # row_bytes = 240*128 -> chunked past the budget
+        assert h * (-(-w // 32)) * 32 * 4 > bitpack._PACK_CHUNK_BYTES
+        rng = np.random.default_rng(0)
+        m = rng.random((h, w)) < 0.4
+        got = np.asarray(pack_mask(jnp.asarray(m)))
+        want = (
+            np.packbits(m, axis=1, bitorder="little").view("<u4")
+        ).reshape(h, -1)
+        np.testing.assert_array_equal(got, want)
+        rt = np.asarray(unpack_mask(jnp.asarray(got), w))
+        assert (rt == m).all()
+
+    @pytest.mark.parametrize("h,w", [(13, 100), (601, 7680)])
+    def test_pack_pair_matches_pack_mask(self, h, w):
+        """The fused one-read pair pack (small = single pass, large =
+        chunked) must equal two independent pack_mask calls, transposed."""
+        from cudacam_tpu.ops.bitpack import pack_pair
+        from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE
+
+        rng = np.random.default_rng(h)
+        t = rng.choice(
+            np.array([0, CANDIDATE_EDGE, FINAL_EDGE], np.uint8), size=(h, w)
+        )
+        f, p = pack_pair(jnp.asarray(t))
+        np.testing.assert_array_equal(
+            np.asarray(f), np.asarray(pack_mask(jnp.asarray(t == FINAL_EDGE))).T
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p),
+            np.asarray(pack_mask(jnp.asarray(t == CANDIDATE_EDGE))).T,
+        )
+
     @pytest.mark.parametrize("s", [1, 2, 5, 31, 32, 33, 64, 100])
     @pytest.mark.parametrize("sign", [1, -1])
     def test_shift_px(self, s, sign):
