@@ -123,12 +123,26 @@ def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pack the FINAL and CANDIDATE masks of a (H, W) uint8 threshold map
-    in ONE chunked pass over the input (the two separate pack_mask calls
-    would read ``thresh`` twice), returning both planes in the TRANSPOSED
-    (Ww, H) compute layout. 8K: 872 us as two pack_mask calls -> 373 us."""
+    """Pack the FINAL and CANDIDATE masks of a (H, W) uint8 threshold map,
+    returning both planes in the TRANSPOSED (Ww, H) compute layout.
+
+    Two regimes, picked by whether ONE mask's uint32 expansion fits the
+    on-chip budget (all variants measured on hardware, tools/pack_probe.py):
+
+    * small frames (<= ~1080p): two separate pack_mask passes — each 8.3 MB
+      expansion stays on-chip and XLA fuses them cleanly into the engine
+      program (the fused pair holds 16.6 MB live and spills: 18 -> 53 us
+      standalone chunked, +14% on the engine headline).
+    * mega frames: ONE fused chunked pass reading ``thresh`` once for both
+      masks (8K: 734 us as two pack_mask calls -> 456 us), budgeting 2x
+      per row since both expansions are live at once."""
     h, w = thresh.shape
     ww = -(-w // 32)
+    if h * ww * 32 * 4 <= _PACK_CHUNK_BYTES:
+        return (
+            pack_mask(thresh == np.uint8(FINAL_EDGE)).T,
+            pack_mask(thresh == np.uint8(CANDIDATE_EDGE)).T,
+        )
 
     def pair_rows(t_rows):
         r = t_rows.shape[0]
@@ -145,11 +159,11 @@ def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # Stack so _chunk_rows sees one array out per chunk.
         return jnp.stack([f, p])
 
-    row_bytes = ww * 32 * 4
+    # Both mask expansions are live at once in this pass: budget 2x per row
+    # (always chunked here — the single-expansion early return above already
+    # took every frame small enough to run unchunked).
+    row_bytes = 2 * ww * 32 * 4
     tp = jnp.pad(thresh, ((0, 0), (0, ww * 32 - w))) if w != ww * 32 else thresh
-    if h * row_bytes <= _PACK_CHUNK_BYTES:
-        fp = pair_rows(tp)
-        return fp[0].T, fp[1].T
     rows = max(8, (_PACK_CHUNK_BYTES // row_bytes) // 8 * 8)
     nb = -(-h // rows)
     tp = jnp.pad(tp, ((0, nb * rows - h), (0, 0)))
