@@ -63,13 +63,26 @@ def _bit_iota() -> jnp.ndarray:
 
 
 #: Cap on the uint32 scratch a single pack/unpack pass may expand to
-#: (bytes). Within this size XLA keeps the expansion on-chip (the whole
-#: 1080p frame, 8.3 MB, compiles with an S(1)/VMEM placement and the pass
-#: runs at ~480 GB/s); far past it the expansion falls off-chip and every
-#: packed word costs an extra 32-byte HBM round trip (measured 8K:
-#: 872 us unchunked vs 373 us for the fused pair-pack chunked at this
-#: budget — the best of the chunk sizes swept on hardware).
-_PACK_CHUNK_BYTES = 16_500_000
+#: (bytes) before the pass runs row-chunked. Within this size XLA keeps the
+#: expansion on-chip (the whole 1080p frame, 8.3 MB, compiles with an
+#: S(1)/VMEM placement and the pass runs at ~480 GB/s); far past it the
+#: expansion falls off-chip and every packed word costs an extra 32-byte
+#: HBM round trip (measured 8K: 872 us unchunked vs 456 chunked).
+_PACK_ONCHIP_BYTES = 16_500_000
+
+#: Target uint32-expansion size per chunk once a pass IS chunked. Swept on
+#: hardware at 8K (tools/pack_probe.py): ~8 MB beats both smaller (more
+#: lax.map iteration overhead) and larger (expansion spills) chunks.
+_PACK_CHUNK_TARGET = 8_000_000
+
+
+def _chunk_count(row_bytes: int) -> int:
+    """Rows per chunk: the largest power of two whose expansion fits the
+    chunk target (measured: power-of-two row counts are distinctly faster
+    than same-size non-powers — 8K pack 308 us at 128 rows vs 495 at 160,
+    424 at 192; unpack 289 at 256 vs 378 at 160)."""
+    rows = max(8, _PACK_CHUNK_TARGET // row_bytes)
+    return 1 << (rows.bit_length() - 1)
 
 
 def _chunk_rows(fn, x: jnp.ndarray, h: int, row_bytes: int) -> jnp.ndarray:
@@ -78,9 +91,9 @@ def _chunk_rows(fn, x: jnp.ndarray, h: int, row_bytes: int) -> jnp.ndarray:
     array fits. Chunking is a ``lax.map`` over an (nb, rows, ...) reshape —
     rows are independent in both pack directions, so zero-padding ``h`` up
     to the chunk grid and slicing the result back is exact."""
-    if h * row_bytes <= _PACK_CHUNK_BYTES:
+    if h * row_bytes <= _PACK_ONCHIP_BYTES:
         return fn(x)
-    rows = max(8, (_PACK_CHUNK_BYTES // row_bytes) // 8 * 8)
+    rows = _chunk_count(row_bytes)
     nb = -(-h // rows)
     xp = jnp.pad(x, ((0, nb * rows - h), (0, 0)))
     out = jax.lax.map(fn, xp.reshape(nb, rows, x.shape[1]))
@@ -96,7 +109,7 @@ def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
     tools/hyster_breakdown.py): the 3-D byte bitcasts force Mosaic
     relayouts, while XLA fuses this form into one pass. On mega-frames the
     pass runs row-chunked so its uint32 expansion stays on-chip (see
-    _PACK_CHUNK_BYTES)."""
+    _PACK_ONCHIP_BYTES)."""
     h, w = mask.shape
     ww = -(-w // 32)
     m = jnp.pad(mask, ((0, 0), (0, ww * 32 - w)))
@@ -138,7 +151,7 @@ def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
       per row since both expansions are live at once."""
     h, w = thresh.shape
     ww = -(-w // 32)
-    if h * ww * 32 * 4 <= _PACK_CHUNK_BYTES:
+    if h * ww * 32 * 4 <= _PACK_ONCHIP_BYTES:
         return (
             pack_mask(thresh == np.uint8(FINAL_EDGE)).T,
             pack_mask(thresh == np.uint8(CANDIDATE_EDGE)).T,
@@ -164,7 +177,7 @@ def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # took every frame small enough to run unchunked).
     row_bytes = 2 * ww * 32 * 4
     tp = jnp.pad(thresh, ((0, 0), (0, ww * 32 - w))) if w != ww * 32 else thresh
-    rows = max(8, (_PACK_CHUNK_BYTES // row_bytes) // 8 * 8)
+    rows = _chunk_count(row_bytes)
     nb = -(-h // rows)
     tp = jnp.pad(tp, ((0, nb * rows - h), (0, 0)))
     fp = jax.lax.map(pair_rows, tp.reshape(nb, rows, ww * 32))

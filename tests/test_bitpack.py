@@ -58,14 +58,14 @@ class TestPacking:
 
     def test_chunked_path_matches_unchunked(self):
         """Mega-frame masks take the row-chunked pack/unpack path (the u32
-        expansion must stay on-chip, bitpack._PACK_CHUNK_BYTES); its output
+        expansion must stay on-chip, bitpack._PACK_ONCHIP_BYTES); its output
         must be bit-identical to the single-pass form, including at a
         height that does NOT divide the chunk grid (exercises the zero-pad
         + slice-back)."""
         from cudacam_tpu.ops import bitpack
 
         h, w = 601, 7680  # row_bytes = 240*128 -> chunked past the budget
-        assert h * (-(-w // 32)) * 32 * 4 > bitpack._PACK_CHUNK_BYTES
+        assert h * (-(-w // 32)) * 32 * 4 > bitpack._PACK_ONCHIP_BYTES
         rng = np.random.default_rng(0)
         m = rng.random((h, w)) < 0.4
         got = np.asarray(pack_mask(jnp.asarray(m)))
