@@ -274,6 +274,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="cudacam_tpu",
         description="TPU-native real-time Canny edge detection framework",
     )
+    p.add_argument(
+        "--platform", default="auto", choices=("auto", "cpu"),
+        help="force the JAX platform (cpu = run everything on the host; the "
+             "reliable switch on deployments whose accelerator plugin "
+             "overrides the JAX_PLATFORMS environment variable)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="stream frames through the pipeline")
@@ -367,6 +373,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform == "cpu":
+        # Must happen before anything initializes a backend; the env var
+        # alone is not enough where an accelerator plugin overrides it.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.cmd == "run" and args.frames == 0:
         args.frames = None
     return args.fn(args)

@@ -263,6 +263,20 @@ class TestCli:
         assert info["stages"][-1] == "HYSTER"
         assert sorted(info["kernel_sizes"]) == [3, 5, 7]
 
+    def test_cli_platform_cpu(self, capsys):
+        """--platform cpu pins the host platform via jax.config (the env
+        var alone is overridden by accelerator plugins on some
+        deployments) and the pipeline still runs end-to-end."""
+        rc = cli_main(
+            ["--platform", "cpu",
+             "run", "--source", "synthetic:32x48", "--frames", "2"]
+        )
+        assert rc == 0
+        import jax
+
+        assert jax.config.jax_platforms == "cpu"
+        assert "2 frames in" in capsys.readouterr().out
+
 
 class TestPacing:
     def test_max_fps_caps_loop_rate(self):
