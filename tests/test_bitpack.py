@@ -76,6 +76,22 @@ class TestPacking:
         rt = np.asarray(unpack_mask(jnp.asarray(got), w))
         assert (rt == m).all()
 
+    def test_chunk_count_power_of_two(self):
+        """Chunk row counts must be powers of two >= 8 (measured distinctly
+        faster on hardware than same-size non-powers) and shrink as rows
+        get wider."""
+        from cudacam_tpu.ops.bitpack import _chunk_count, _PACK_CHUNK_TARGET
+
+        prev = None
+        for row_bytes in (1024, 30720, 61440, 10**6, 10**8):
+            rows = _chunk_count(row_bytes)
+            assert rows >= 8 and (rows & (rows - 1)) == 0
+            if rows > 8:  # above the floor, chunks stay near the target
+                assert rows * row_bytes <= 2 * _PACK_CHUNK_TARGET
+            if prev is not None:
+                assert rows <= prev
+            prev = rows
+
     @pytest.mark.parametrize("h,w", [(13, 100), (601, 7680)])
     def test_pack_pair_matches_pack_mask(self, h, w):
         """The fused one-read pair pack (small = single pass, large =
