@@ -71,30 +71,25 @@ def canny_all_stages_pallas(
     """Every stage buffer, with each integer display buffer produced by the
     PALLAS kernel (the reference keeps all intermediaries for display,
     README.md:22; round-1 silently ran XLA for this mode). The fused kernel
-    emits one stage per invocation, so this runs it once per requested
-    stage — all-stages display is a debug/visualisation mode and may cost a
-    few kernel passes. The float inspection planes (sobel_x/y, grad, slope)
-    are display-only derivations computed by XLA from the kernel's own blur
-    buffer (bit-exact inputs; see docs/parity.md)."""
+    emits ALL FOUR stage buffers from ONE pass (multi-output pallas_call,
+    feedforward.feed_forward_all_stages) — round-2 originally re-ran the
+    kernel once per stage. The float inspection planes (sobel_x/y, grad,
+    slope) are display-only derivations computed by XLA from the kernel's
+    own blur buffer (bit-exact inputs; see docs/parity.md)."""
     from cudacam_tpu.ops.bitpack import hysteresis_packed as _hp
+    from cudacam_tpu.ops.pallas.feedforward import feed_forward_all_stages
 
     mono = xla_ops.rgb2mono(frame)
-
-    def ff(stage):
-        return feed_forward_to_stage(
-            mono,
-            low,
-            high,
-            kernel_size=cfg.kernel_size,
-            grad_coeff=cfg.grad_coeff,
-            norm=cfg.norm,
-            parity=cfg.parity,
-            out_stage=stage,
-            interpret=interpret,
-        )
-
-    blur = ff(CannyStage.GAUSSIAN)
-    thresh = ff(CannyStage.THRESH)
+    blur, grad_disp, nms, thresh = feed_forward_all_stages(
+        mono,
+        low,
+        high,
+        kernel_size=cfg.kernel_size,
+        grad_coeff=cfg.grad_coeff,
+        norm=cfg.norm,
+        parity=cfg.parity,
+        interpret=interpret,
+    )
     sum_x, sum_y = xla_ops.sobel_sums(blur)
     inv8 = jnp.float32(0.125)
     sx = sum_x.astype(jnp.float32) * inv8
@@ -107,8 +102,8 @@ def canny_all_stages_pallas(
         "sobel_y": sy,
         "grad": grad,
         "slope": slope,
-        "gradient_display": ff(CannyStage.GRADIENT),
-        "nms": ff(CannyStage.NMS),
+        "gradient_display": grad_disp,
+        "nms": nms,
         "thresh": thresh,
         "hyster": _hp(
             thresh,

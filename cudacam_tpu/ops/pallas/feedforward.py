@@ -173,10 +173,7 @@ def _kernel_body(
     hi_ref,
     origin_ref,
     mono_hbm,
-    out_ref,
-    slab,
-    sems,
-    *,
+    *refs,
     bh: int,
     width: int,
     img_h: int,
@@ -185,11 +182,16 @@ def _kernel_body(
     grad_coeff: int,
     norm: str,
     parity: str,
-    out_stage: CannyStage,
+    out_stages: Tuple[CannyStage, ...],
     n_blocks: int,
 ):
     """Grid step i: consume slab i (prefetched), prefetch slab i+1, run the
-    fused stage chain in VMEM, emit output block i."""
+    fused stage chain in VMEM, emit one output block per requested stage
+    (``out_stages`` is pipeline-ordered; the chain stops after the last).
+    Multi-stage emission is how process_all keeps every display buffer in
+    ONE kernel pass instead of one pass per stage (README.md:22 analog)."""
+    out_refs = refs[: len(out_stages)]
+    slab, sems = refs[len(out_stages) :]
     slab_h = bh + 2 * PAD_R
     i = pl.program_id(0)
 
@@ -219,10 +221,13 @@ def _kernel_body(
         i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
     )
 
-    def emit(x_i32: jnp.ndarray) -> None:
-        out_ref[:, :] = x_i32[
-            PAD_R : PAD_R + bh, PAD_C : PAD_C + width
-        ].astype(jnp.uint8)
+    last = out_stages[-1]
+
+    def emit(stage: CannyStage, x_i32: jnp.ndarray) -> None:
+        if stage in out_stages:
+            out_refs[out_stages.index(stage)][:, :] = x_i32[
+                PAD_R : PAD_R + bh, PAD_C : PAD_C + width
+            ].astype(jnp.uint8)
 
     # --- 2/6 Gaussian (cannyEdgeD.cu:72-118), exact floor-div by tap sum ---
     ksum = gaussian_kernel_sum(kernel_size)
@@ -231,8 +236,8 @@ def _kernel_body(
     blur = (acc * magic) >> shift if magic != 1 else acc >> shift
     blur = blur * valid  # zero outside the image (0/1 multiply-mask)
 
-    if out_stage == CannyStage.GAUSSIAN:
-        emit(blur)
+    emit(CannyStage.GAUSSIAN, blur)
+    if last == CannyStage.GAUSSIAN:
         return
 
     # --- 3/6 Sobel (cannyEdgeD.cu:121-172), separable integer stencils -----
@@ -259,7 +264,11 @@ def _kernel_body(
     # parity; 8 in 'opencv' parity ((s*8)>>3 == s, the raw Sobel magnitude).
     disp_coeff = grad_coeff if parity == "reference" else 8
 
+    _mag = []
+
     def magnitude_i32() -> jnp.ndarray:
+        if _mag:  # computed at most once even when GRADIENT and NMS both emit
+            return _mag[0]
         if norm == "l2":
             m = sum_x * sum_x + sum_y * sum_y
             s = jnp.sqrt(m.astype(jnp.float32)).astype(jnp.int32)
@@ -268,10 +277,12 @@ def _kernel_body(
             val = (s * disp_coeff) >> 3
         else:
             val = (disp_coeff * (jnp.abs(sum_x) + jnp.abs(sum_y))) >> 3
-        return jnp.minimum(val, 255)
+        _mag.append(jnp.minimum(val, 255))
+        return _mag[0]
 
-    if out_stage == CannyStage.GRADIENT:
-        emit(magnitude_i32())
+    if CannyStage.GRADIENT in out_stages:
+        emit(CannyStage.GRADIENT, magnitude_i32())
+    if last == CannyStage.GRADIENT:
         return
 
     # --- 4/6 NMS (cannyEdgeD.cu:201-270): Q15 sector bins, ties kept -------
@@ -303,8 +314,9 @@ def _kernel_body(
     )
     keep = ((q <= g) & (r <= g)).astype(jnp.int32)
 
-    if out_stage == CannyStage.NMS:
-        emit(keep * magnitude_i32())
+    if CannyStage.NMS in out_stages:  # guard: don't trace magnitude otherwise
+        emit(CannyStage.NMS, keep * magnitude_i32())
+    if last == CannyStage.NMS:
         return
 
     # --- 5/6 double threshold (cannyEdgeD.cu:273-293), strict inequalities -
@@ -339,7 +351,7 @@ def _kernel_body(
         jnp.int32(FINAL_EDGE),
         jnp.where(nms > lo_c, jnp.int32(CANDIDATE_EDGE), jnp.int32(NO_EDGE)),
     )
-    emit(out)
+    emit(CannyStage.THRESH, out)
 
 
 @functools.partial(
@@ -384,6 +396,65 @@ def feed_forward_to_stage(
     out_stage = CannyStage(out_stage)
     if out_stage in (CannyStage.MONO, CannyStage.HYSTER):
         raise ValueError("out_stage must be GAUSSIAN, GRADIENT, NMS or THRESH")
+    return _feed_forward_multi(
+        mono, low, high, (out_stage,), kernel_size, grad_coeff, norm,
+        parity, interpret, block_h, origin, image_size,
+    )[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size",
+        "grad_coeff",
+        "norm",
+        "parity",
+        "interpret",
+        "block_h",
+        "image_size",
+    ),
+)
+def feed_forward_all_stages(
+    mono: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    interpret: bool = False,
+    block_h: Optional[int] = None,
+    origin=None,
+    image_size: Optional[Tuple[int, int]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Every feed-forward display buffer (gaussian, gradient, nms, thresh)
+    from ONE kernel pass: the chain runs once and each stage's uint8 block
+    is emitted as its own output (vs one full pass per stage). This is the
+    all-stages display mode's compute (the reference keeps every
+    intermediary for display, README.md:22)."""
+    return _feed_forward_multi(
+        mono, low, high,
+        (CannyStage.GAUSSIAN, CannyStage.GRADIENT, CannyStage.NMS,
+         CannyStage.THRESH),
+        kernel_size, grad_coeff, norm, parity, interpret, block_h, origin,
+        image_size,
+    )
+
+
+def _feed_forward_multi(
+    mono: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    out_stages: Tuple[CannyStage, ...],
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    interpret: bool,
+    block_h: Optional[int],
+    origin,
+    image_size: Optional[Tuple[int, int]],
+) -> Tuple[jnp.ndarray, ...]:
     h, w = mono.shape
     gh, gw = image_size if image_size is not None else (h, w)
     if origin is None:
@@ -393,7 +464,10 @@ def feed_forward_to_stage(
             [jnp.asarray(origin[0], jnp.int32), jnp.asarray(origin[1], jnp.int32)]
         )
     sw = _slab_w(w)
-    bh = block_h or _pick_block_h(h, sw * 4, _LIVE_SLABS, PAD_R)
+    # Each extra emitted stage adds a pipelined uint8 output block (~1/4 of
+    # an int32 slab, double-buffered): budget it as half a live slab.
+    live = _LIVE_SLABS + (len(out_stages) - 1 + 1) // 2
+    bh = block_h or _pick_block_h(h, sw * 4, live, PAD_R)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
 
@@ -412,27 +486,28 @@ def feed_forward_to_stage(
         grad_coeff=grad_coeff,
         norm=norm,
         parity=parity,
-        out_stage=out_stage,
+        out_stages=out_stages,
         n_blocks=n_blocks,
     )
 
+    block = pl.BlockSpec(
+        (bh, w), lambda i, lo, hi, org: (i, 0), memory_space=pltpu.VMEM
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # low, high thresholds; tile origin
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (bh, w), lambda i, lo, hi, org: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=[block] * len(out_stages),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2 * PAD_R, sw), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.uint8),
+        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.uint8)] * len(out_stages),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -443,4 +518,4 @@ def feed_forward_to_stage(
         origin_arr,
         mono_p,
     )
-    return out[:h] if hp != h else out
+    return tuple(o[:h] if hp != h else o for o in outs)
