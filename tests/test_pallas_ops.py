@@ -83,6 +83,36 @@ class TestTapSymmetry:
         assert (T == T[:, ::-1]).all()
 
 
+class TestMultiOutputKernel:
+    @pytest.mark.slow
+    def test_all_stages_match_single_stage_interpret(self):
+        """The multi-output kernel (one pass emitting all four stage
+        buffers) must be bit-identical to four single-output passes —
+        checked in interpret mode, the only Pallas execution available on
+        CPU (the TPU subprocess test covers it on hardware via
+        process_all). Small shape: interpret is slow."""
+        from cudacam_tpu.ops.pallas.feedforward import (
+            feed_forward_all_stages,
+            feed_forward_to_stage,
+        )
+        from cudacam_tpu.stages import CannyStage
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        mono = jnp.asarray(rng.integers(0, 256, (32, 64), np.uint8))
+        lo, hi = jnp.int32(10), jnp.int32(40)
+        outs = feed_forward_all_stages(mono, lo, hi, interpret=True)
+        stages = (CannyStage.GAUSSIAN, CannyStage.GRADIENT,
+                  CannyStage.NMS, CannyStage.THRESH)
+        for stage, got in zip(stages, outs):
+            want = feed_forward_to_stage(
+                mono, lo, hi, out_stage=stage, interpret=True
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(want), err_msg=stage.name
+            )
+
+
 _TPU_CHECK_SCRIPT = r"""
 import sys
 import numpy as np
