@@ -35,19 +35,19 @@ def _clean_env() -> dict:
     return env
 
 
-@pytest.mark.slow
-def test_two_process_pod():
+def _run_pod(nprocs: int, cols: int) -> None:
     port = _free_port()
     env = _clean_env()
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(port), str(i), "2"],
+            [sys.executable, _WORKER, str(port), str(i), str(nprocs),
+             str(cols)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
     outs = []
     try:
@@ -61,3 +61,18 @@ def test_two_process_pod():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"OK process={i} shards_checked=4" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_pod():
+    """2 processes x 4 devices, (1, 8, 1) mesh: row halos cross the
+    process boundary."""
+    _run_pod(2, cols=1)
+
+
+@pytest.mark.slow
+def test_four_process_pod_2d():
+    """4 processes x 4 devices, (1, 2, 8) mesh: BOTH the row and the
+    column halo exchanges cross process boundaries (local devices pack
+    the x axis first)."""
+    _run_pod(4, cols=8)
