@@ -496,7 +496,7 @@ def _feed_forward_multi(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # low, high thresholds; tile origin
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block] * len(out_stages),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2 * PAD_R, sw), jnp.uint8),

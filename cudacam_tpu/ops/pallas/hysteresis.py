@@ -157,9 +157,9 @@ def _make_sweep(hp: int, w: int, bh: int, down: bool, max_local_iters: int, inte
         out, changed = pl.pallas_call(
             kern,
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             out_shape=(
