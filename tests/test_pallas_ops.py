@@ -291,6 +291,20 @@ def test_pallas_kernels_bit_exact_on_tpu():
     """Bit-exactness of every Pallas kernel vs the oracle, on real TPU."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the TPU plugin win in the child
+    # Fast pre-probe: when the TPU tunnel is DOWN, backend init hangs (no
+    # error) and the main subprocess would burn its whole 900 s compile
+    # budget before skipping. A healthy init takes seconds.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=120,
+            env=env,
+        )
+        if probe.returncode != 0:
+            pytest.skip("TPU backend init failed")
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU backend unreachable (tunnel down?)")
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _TPU_CHECK_SCRIPT],
