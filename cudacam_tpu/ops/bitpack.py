@@ -259,15 +259,38 @@ def _scan_dir(f, p, shift, steps: Sequence[int]):
     return g
 
 
-def _dilate8_packed(f: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+def _dilate8_packed(
+    f: jnp.ndarray, p: jnp.ndarray, exact: bool = True
+) -> jnp.ndarray:
     """One promotion step: f | (p & 8-neighborhood-OR(f)), bit-parallel.
     Vertical neighbors first, then horizontal over the vertical OR (the
-    2-pass factorization): 2 row shifts + 2 one-pixel bit shifts."""
+    2-pass factorization): 2 row shifts + 2 one-pixel bit shifts.
+
+    ``exact=False`` drops the cross-word horizontal carry (the
+    ``_shift_words`` copy + merge per direction, ~6 of the step's ~17 VPU
+    ops): plain ``v<<1 | v>>1`` propagates horizontally only WITHIN each
+    32-px word. That under-approximates one step — a front sitting at a
+    word boundary stalls until the next exact step — but promotion stays
+    monotone and below the fixed point, so it is always safe as an
+    *intermediate* step. Every round's LAST step must be exact: then
+    "round produced no growth" still implies the true dilation fixed point
+    and the convergence loop exits at exactly the oracle's answer."""
     v = f | _shift_rows(f, 1) | _shift_rows(f, -1)
-    return f | (p & (v | _shift_px(v, 1) | _shift_px(v, -1)))
+    if exact:
+        h = v | _shift_px(v, 1) | _shift_px(v, -1)
+    else:
+        h = v | (v << np.uint32(1)) | (v >> np.uint32(1))
+    return f | (p & h)
 
 
-def _make_ops(h: int, w: int, dilate_steps: int):
+#: Exact (cross-word-carry) dilation cadence inside a fused round: steps
+#: 1..k-1 run carry-free (cheap), every ``_CARRY_EVERY``-th and the round's
+#: last step run exact. Swept on hardware (tools/hyster_breakdown.py).
+_CARRY_EVERY = 4
+
+
+def _make_ops(h: int, w: int, dilate_steps: int,
+              carry_every: int = _CARRY_EVERY):
     """Build the two promotion operators: ``dilates`` = dilate_steps fused
     bit-parallel dilations; ``scans`` = the 8-direction doubling scans.
     Both are monotone and dominated by the fixed point, so the converged
