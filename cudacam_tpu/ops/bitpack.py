@@ -283,16 +283,23 @@ def _dilate8_packed(
     return f | (p & h)
 
 
-#: Exact (cross-word-carry) dilation cadence inside a fused round: steps
-#: 1..k-1 run carry-free (cheap), every ``_CARRY_EVERY``-th and the round's
-#: last step run exact. Swept on hardware (tools/hyster_breakdown.py).
-_CARRY_EVERY = 4
+#: Exact (cross-word-carry) dilation cadence inside a fused round: every
+#: ``_CARRY_EVERY``-th step and the round's last step run exact, the rest
+#: carry-free (cheap). Swept on hardware (tools/round_op_probe.py):
+#: full-convergence loop 130 -> 114 us at 1080p, 895 -> 688 us at 4K going
+#: ce1 -> ce8; ce16 is within noise of ce8 at both sizes, ce8 keeps the
+#: word-boundary stall window shorter on adversarial content. The same
+#: probe shows truncated carry-lookahead "chase" rounds LOSE on real
+#: scenes (1.7-3.5 ms at 4K: a fixed direction order follows only ~2 chain
+#: segments per round), which is why phase 1 stays pure dilations.
+_CARRY_EVERY = 8
 
 
 def _make_ops(h: int, w: int, dilate_steps: int,
               carry_every: int = _CARRY_EVERY):
     """Build the two promotion operators: ``dilates`` = dilate_steps fused
-    bit-parallel dilations; ``scans`` = the 8-direction doubling scans.
+    bit-parallel dilations (with the ``carry_every`` exactness cadence);
+    ``scans`` = the 8-direction doubling scans.
     Both are monotone and dominated by the fixed point, so the converged
     result is identical whatever mix runs — the mix only trades per-round
     cost against rounds needed (see docs/performance.md)."""
@@ -316,8 +323,9 @@ def _make_ops(h: int, w: int, dilate_steps: int,
         return f
 
     def dilates(f, p):
-        for _ in range(dilate_steps):
-            f = _dilate8_packed(f, p)
+        for i in range(1, dilate_steps + 1):
+            exact = (i % carry_every == 0) or (i == dilate_steps)
+            f = _dilate8_packed(f, p, exact=exact)
         return f
 
     return dilates, scans

@@ -231,6 +231,57 @@ class TestHysteresisPacked:
             ),
         )
 
+    def test_word_boundary_runs_with_carry_cadence(self):
+        """The carry-free (exact=False) intermediate dilations drop the
+        cross-word horizontal carry; a front sitting exactly at a 32-px word
+        boundary must still converge to the oracle fixed point because every
+        carry_every-th and last step is exact. Seeds at columns 31/32 and
+        63/64 with long horizontal candidate runs are the adversarial case."""
+        t = np.zeros((9, 160), np.uint8)
+        t[1, 1:150] = 128; t[1, 31] = 255   # seed at the last bit of word 0
+        t[3, 1:150] = 128; t[3, 32] = 255   # seed at the first bit of word 1
+        t[5, 1:150] = 128; t[5, 63] = 255
+        t[7, 1:150] = 128; t[7, 64] = 255
+        want = oracle.hysteresis(t)
+        for ds in (4, 16):
+            got = np.asarray(
+                hysteresis_packed(jnp.asarray(t), dilate_steps=ds)
+            )
+            np.testing.assert_array_equal(want, got)
+
+    def test_carry_cadence_converges_identical_to_all_exact(self):
+        """A mixed exact/inexact schedule (carry_every=4 default) must reach
+        the bit-identical fixed point as an all-exact schedule: both are
+        monotone and dominated by the fixed point, and every round ends
+        exact so the no-growth exit implies true convergence."""
+        from cudacam_tpu.ops.bitpack import _make_ops, pack_pair, unpack_mask
+
+        rng = np.random.default_rng(21)
+        t = rng.choice(
+            [0, 128, 255], size=(48, 200), p=[0.45, 0.45, 0.10]
+        ).astype(np.uint8)
+        t[10, 1:199] = 128
+        t[10, 33] = 255  # long run + word-boundary seed in the same frame
+
+        def converge(carry_every):
+            f, p = pack_pair(jnp.asarray(t))
+            dilates, _ = _make_ops(48, 200, 16, carry_every=carry_every)
+            prev = None
+            for _ in range(40):
+                f = dilates(f, p)
+                cur = np.asarray(unpack_mask(f.T, 200))
+                if prev is not None and (cur == prev).all():
+                    break
+                prev = cur
+            return cur
+
+        all_exact = converge(carry_every=1)
+        mixed = converge(carry_every=4)
+        np.testing.assert_array_equal(all_exact, mixed)
+        np.testing.assert_array_equal(
+            all_exact, oracle.hysteresis(t) == 255
+        )
+
     def test_remove_candidates_false(self):
         rng = np.random.default_rng(7)
         t = rng.choice(
