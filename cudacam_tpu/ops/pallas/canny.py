@@ -3,9 +3,15 @@
 Mirrors xla_ops.canny_to_stage's cumulative run-to-stage-k contract
 (reference dispatch: cannyEdgeH.cu:49-120) on the Pallas kernels:
 
-* MONO is a pointwise fixed-point conversion — XLA already emits a single
-  memory-bound pass for it, so it stays an XLA op feeding the kernel;
-* GAUSSIAN..THRESH is ONE fused Pallas kernel (feedforward.py);
+* MONO..THRESH is ONE fused Pallas kernel (feedforward.py) whenever the
+  frame's dimensions meet the DMA granules (h % 8 == 0, w % 128 == 0 —
+  every production size: 1080p/720p/4K/8K): the kernel ingests the RAW
+  planar BGR frame and fuses the fixed-point mono conversion into the slab,
+  so the frame makes exactly ONE trip out of HBM with no XLA pre-pass (the
+  reference's one-upload property, README.md:14, minus even its separate
+  rgb2mono kernel). Off-granule sizes, grayscale configs, and the MONO
+  display stage fall back to the XLA mono pass feeding the mono kernel;
+* GAUSSIAN..THRESH runs in that same fused kernel either way;
 * HYSTER adds the bit-packed convergence loop (ops/bitpack.py) — the
   canonical hysteresis shared by every backend. (The sequential-sweep
   Pallas kernel in hysteresis.py remains available as an independently
@@ -23,6 +29,18 @@ from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
 from cudacam_tpu.stages import CannyStage
 
 
+def _planar_ok(frame: jnp.ndarray) -> bool:
+    """True when the raw (H, W, 3) frame can feed the kernel directly: the
+    clamped slab DMAs need h on the 8-row and w on the 128-lane u8 granule
+    (feedforward._kernel_body's planar contract)."""
+    return (
+        frame.ndim == 3
+        and frame.shape[-1] == 3
+        and frame.shape[0] % 8 == 0
+        and frame.shape[1] % 128 == 0
+    )
+
+
 def canny_to_stage_pallas(
     frame: jnp.ndarray,
     low: jnp.ndarray,
@@ -34,14 +52,20 @@ def canny_to_stage_pallas(
     """Cumulative pipeline to ``final_stage`` on the Pallas backend; returns
     that stage's (H, W) uint8 display buffer."""
     final_stage = CannyStage(final_stage)
-    mono = xla_ops.rgb2mono(frame)
     if final_stage == CannyStage.MONO:
-        return mono
+        return xla_ops.rgb2mono(frame)
     ff_stage = (
         final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
     )
+    if _planar_ok(frame):
+        # Raw-frame ingest: (H, W, 3) u8 is stored channel-major on TPU, so
+        # this transpose is a layout view, not a copy — the kernel reads the
+        # uploaded bytes directly (one HBM read per frame, zero pre-passes).
+        ff_in = jnp.transpose(frame, (2, 0, 1))
+    else:
+        ff_in = xla_ops.rgb2mono(frame)
     out = feed_forward_to_stage(
-        mono,
+        ff_in,
         low,
         high,
         kernel_size=cfg.kernel_size,

@@ -184,39 +184,145 @@ def _kernel_body(
     parity: str,
     out_stages: Tuple[CannyStage, ...],
     n_blocks: int,
+    planar: bool,
 ):
     """Grid step i: consume slab i (prefetched), prefetch slab i+1, run the
     fused stage chain in VMEM, emit one output block per requested stage
     (``out_stages`` is pipeline-ordered; the chain stops after the last).
     Multi-stage emission is how process_all keeps every display buffer in
-    ONE kernel pass instead of one pass per stage (README.md:22 analog)."""
+    ONE kernel pass instead of one pass per stage (README.md:22 analog).
+
+    ``planar=False``: the input is the PRE-PADDED (Hp, SW) mono plane and
+    every slab DMA window is in range by construction.
+
+    ``planar=True``: the input is the RAW (3, H, W) planar BGR frame — no
+    XLA pre-pass at all (the reference's one-upload-per-frame property,
+    README.md:14; upload at cannyEdgeH.cu:136, done one better: zero
+    device-side passes before the kernel). Slab DMA windows are clamped to
+    the frame and the unfilled slab ring is zeroed in-kernel (the zero
+    padding the XLA pass used to provide); BGR->mono (cannyEdgeD.cu:53-69
+    fixed point) runs on the slab before the stage chain. Requires
+    h % 8 == 0 and w % 128 == 0 (DMA granules) — callers fall back to the
+    mono path otherwise (ops/pallas/canny.py)."""
     out_refs = refs[: len(out_stages)]
     slab, sems = refs[len(out_stages) :]
     slab_h = bh + 2 * PAD_R
     i = pl.program_id(0)
 
-    def start_fetch(slot, block_idx):
-        # Input rows are pre-padded by PAD_R top/bottom, so the slab window
-        # [block*bh, block*bh + slab_h) is always in range.
-        return pltpu.make_async_copy(
-            mono_hbm.at[pl.ds(block_idx * bh, slab_h), :],
-            slab.at[slot],
-            sems.at[slot],
-        )
+    if not planar:
+
+        def start_fetch(slot, block_idx):
+            # Input rows are pre-padded by PAD_R top/bottom, so the slab
+            # window [block*bh, block*bh + slab_h) is always in range.
+            return pltpu.make_async_copy(
+                mono_hbm.at[pl.ds(block_idx * bh, slab_h), :],
+                slab.at[slot],
+                sems.at[slot],
+            )
+
+        def fetch_start(slot, block_idx):
+            start_fetch(slot, block_idx).start()
+
+        def fetch_wait(slot, block_idx):
+            start_fetch(slot, block_idx).wait()
+
+    else:
+        # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
+        # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
+        # branch's row count/offset stays a static multiple of 8 (the u8
+        # row-DMA granule); exactly one branch runs per block index.
+        last = n_blocks - 1
+        n_last = img_h - last * bh + PAD_R  # rows available for the last slab
+
+        def _dma(block_idx, src0, dst0, n, slot):
+            # pl.multiple_of: the traced row offsets are bh-multiples +- the
+            # 8-row PAD_R, but Mosaic can't prove that on its own ("Failed
+            # to prove that a tile index ... is divisible by the tiling").
+            return pltpu.make_async_copy(
+                mono_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
+                slab.at[slot, :, pl.ds(dst0, n), pl.ds(PAD_C, width)],
+                sems.at[slot],
+            )
+
+        def _each_branch(block_idx, slot, act):
+            if n_blocks == 1:
+                act(_dma(block_idx, 0, PAD_R, img_h, slot))
+                return
+            @pl.when(block_idx == 0)
+            def _():
+                act(_dma(block_idx, 0, PAD_R, bh + PAD_R, slot))
+
+            @pl.when((block_idx > 0) & (block_idx < last))
+            def _():
+                act(_dma(block_idx, block_idx * bh - PAD_R, 0, slab_h, slot))
+
+            @pl.when(block_idx == last)
+            def _():
+                act(_dma(block_idx, last * bh - PAD_R, 0, n_last, slot))
+
+        def fetch_start(slot, block_idx):
+            _each_branch(block_idx, slot, lambda d: d.start())
+
+        def fetch_wait(slot, block_idx):
+            _each_branch(block_idx, slot, lambda d: d.wait())
 
     @pl.when(i == 0)
     def _():
-        start_fetch(0, 0).start()
+        fetch_start(0, 0)
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        start_fetch((i + 1) % 2, i + 1).start()
+        fetch_start((i + 1) % 2, i + 1)
 
-    start_fetch(i % 2, i).wait()
+    fetch_wait(i % 2, i)
+
+    if planar:
+        # Zero the slab ring the clamped DMA leaves unfilled — the zero
+        # padding semantics the XLA pad pass provided on the mono path
+        # (reference zero-fills its shared-memory tiles, cannyEdgeD.cu:91-98).
+        # Column margins only depend on the buffer, not the block: zero them
+        # once per buffer (steps 0 and 1), after wait() so the stores cannot
+        # overlap this buffer's in-flight fill.
+        sw = slab.shape[-1]
+        slot = i % 2
+        fill_last = (img_h + PAD_R) if n_blocks == 1 else n_last
+
+        @pl.when(i <= min(1, n_blocks - 1))
+        def _():
+            slab[slot, :, :, :PAD_C] = jnp.zeros(
+                (3, slab_h, PAD_C), jnp.uint8
+            )
+            slab[slot, :, :, PAD_C + width:] = jnp.zeros(
+                (3, slab_h, sw - PAD_C - width), jnp.uint8
+            )
+
+        @pl.when(i == 0)
+        def _():
+            slab[slot, :, :PAD_R, PAD_C:] = jnp.zeros(
+                (3, PAD_R, sw - PAD_C), jnp.uint8
+            )
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            slab[slot, :, fill_last:, PAD_C:] = jnp.zeros(
+                (3, slab_h - fill_last, sw - PAD_C), jnp.uint8
+            )
 
     # Whole chain in one slab-shaped i32 coordinate frame; [0,0] sits at
     # global pixel (origin + (i*bh - PAD_R, -PAD_C)).
-    mono = slab[i % 2].astype(jnp.int32)
+    if planar:
+        # --- 1/6 BGR -> mono fused into the slab (cannyEdgeD.cu:53-69):
+        # weights sum to 64, so acc >> 6 <= 255 and the oracle's min(255, .)
+        # is vacuous (oracle.rgb2mono).
+        from cudacam_tpu.ops.numpy_oracle import B_WT, G_WT, R_WT
+
+        mono = (
+            slab[i % 2, 0].astype(jnp.int32) * B_WT
+            + slab[i % 2, 1].astype(jnp.int32) * G_WT
+            + slab[i % 2, 2].astype(jnp.int32) * R_WT
+        ) >> 6
+    else:
+        mono = slab[i % 2].astype(jnp.int32)
     valid = _valid_mask_i32(
         i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
     )
@@ -442,7 +548,7 @@ def feed_forward_all_stages(
 
 
 def _feed_forward_multi(
-    mono: jnp.ndarray,
+    inp: jnp.ndarray,
     low: jnp.ndarray,
     high: jnp.ndarray,
     out_stages: Tuple[CannyStage, ...],
@@ -455,7 +561,16 @@ def _feed_forward_multi(
     origin,
     image_size: Optional[Tuple[int, int]],
 ) -> Tuple[jnp.ndarray, ...]:
-    h, w = mono.shape
+    planar = inp.ndim == 3
+    if planar:
+        _, h, w = inp.shape
+        if h % 8 or w % 128:
+            raise ValueError(
+                "planar ingest needs h % 8 == 0 and w % 128 == 0 "
+                f"(got {h}x{w}); use the mono path otherwise"
+            )
+    else:
+        h, w = inp.shape
     gh, gw = image_size if image_size is not None else (h, w)
     if origin is None:
         origin_arr = jnp.zeros((2,), jnp.int32)
@@ -465,16 +580,28 @@ def _feed_forward_multi(
         )
     sw = _slab_w(w)
     # Each extra emitted stage adds a pipelined uint8 output block (~1/4 of
-    # an int32 slab, double-buffered): budget it as half a live slab.
-    live = _LIVE_SLABS + (len(out_stages) - 1 + 1) // 2
+    # an int32 slab, double-buffered): budget it as half a live slab. The
+    # planar path's slab triples the u8 input buffer (3 channels): +1 live.
+    live = _LIVE_SLABS + (len(out_stages) - 1 + 1) // 2 + (1 if planar else 0)
     bh = block_h or _pick_block_h(h, sw * 4, live, PAD_R)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
 
-    # One cheap XLA pass: pad rows by the slab padding (and up to the slab
-    # grid), cols to the 128-lane-aligned slab width, so every slab DMA
-    # window is in-bounds and alignment-legal.
-    mono_p = jnp.pad(mono, ((PAD_R, PAD_R + (hp - h)), (PAD_C, sw - w - PAD_C)))
+    if planar:
+        # NO XLA pre-pass at all: the kernel DMAs clamped windows straight
+        # out of the raw (3, H, W) frame and zero-fills the slab ring
+        # itself. (On TPU the (H, W, 3) uint8 frame is stored channel-major,
+        # so the transpose to planar in the caller is a free layout view.)
+        kernel_in = inp
+        slab_shape = (2, 3, bh + 2 * PAD_R, sw)
+    else:
+        # One cheap XLA pass: pad rows by the slab padding (and up to the
+        # slab grid), cols to the 128-lane-aligned slab width, so every slab
+        # DMA window is in-bounds and alignment-legal.
+        kernel_in = jnp.pad(
+            inp, ((PAD_R, PAD_R + (hp - h)), (PAD_C, sw - w - PAD_C))
+        )
+        slab_shape = (2, bh + 2 * PAD_R, sw)
 
     kern = functools.partial(
         _kernel_body,
@@ -488,6 +615,7 @@ def _feed_forward_multi(
         parity=parity,
         out_stages=out_stages,
         n_blocks=n_blocks,
+        planar=planar,
     )
 
     block = pl.BlockSpec(
@@ -499,7 +627,7 @@ def _feed_forward_multi(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[block] * len(out_stages),
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 2 * PAD_R, sw), jnp.uint8),
+            pltpu.VMEM(slab_shape, jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -516,6 +644,6 @@ def _feed_forward_multi(
         jnp.asarray(low, jnp.int32).reshape(1),
         jnp.asarray(high, jnp.int32).reshape(1),
         origin_arr,
-        mono_p,
+        kernel_in,
     )
     return tuple(o[:h] if hp != h else o for o in outs)

@@ -83,6 +83,51 @@ class TestTapSymmetry:
         assert (T == T[:, ::-1]).all()
 
 
+class TestPlanarIngest:
+    def test_planar_shape_gate(self):
+        """Off-granule shapes must be rejected (callers fall back to the
+        mono path, ops/pallas/canny._planar_ok)."""
+        from cudacam_tpu.ops.pallas import canny as pc
+        import jax.numpy as jnp
+
+        ok = jnp.zeros((16, 128, 3), jnp.uint8)
+        assert pc._planar_ok(ok)
+        assert not pc._planar_ok(jnp.zeros((15, 128, 3), jnp.uint8))
+        assert not pc._planar_ok(jnp.zeros((16, 130, 3), jnp.uint8))
+        assert not pc._planar_ok(jnp.zeros((16, 128), jnp.uint8))
+
+    @pytest.mark.slow
+    def test_planar_matches_oracle_interpret(self):
+        """Raw-BGR ingest (clamped slab DMA + in-kernel mono + in-kernel
+        zero fill) must be bit-identical to the oracle pipeline, including
+        at multi-block slab heights where every DMA clamp branch runs."""
+        from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+        from cudacam_tpu.ops import numpy_oracle as oracle
+        from cudacam_tpu.stages import CannyStage
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        for h, w, bh in [(16, 128, None), (32, 128, 8), (24, 256, 8)]:
+            frame = rng.integers(0, 256, (h, w, 3), np.uint8)
+            mono = oracle.rgb2mono(frame)
+            blur = oracle.gaussian_blur(mono, 5)
+            sx, sy = oracle.sobel_sums(blur)
+            ref = oracle.double_threshold(
+                oracle.non_max_suppression(sx, sy), 10, 40
+            )
+            out = np.asarray(
+                feed_forward_to_stage(
+                    jnp.asarray(frame.transpose(2, 0, 1)),
+                    jnp.int32(10),
+                    jnp.int32(40),
+                    out_stage=CannyStage.THRESH,
+                    interpret=True,
+                    block_h=bh,
+                )
+            )
+            np.testing.assert_array_equal(out, ref, err_msg=f"{h}x{w} bh={bh}")
+
+
 class TestMultiOutputKernel:
     @pytest.mark.slow
     def test_all_stages_match_single_stage_interpret(self):
@@ -162,6 +207,22 @@ for ks, norm, stage, ref in cases:
     if not np.array_equal(out, ref):
         failures.append(f"ff {stage.name} ks={ks} norm={norm} "
                         f"n={(out != ref).sum()}")
+
+# Planar raw-BGR ingest (granule-eligible shape, multi-block so the DMA
+# clamp branches + in-kernel zero fill run): vs the oracle pipeline.
+fr_p = rng.integers(0, 256, (64, 256, 3), dtype=np.uint8)
+mono_p = oracle.rgb2mono(fr_p)
+blur_p = oracle.gaussian_blur(mono_p, 5)
+sxp, syp = oracle.sobel_sums(blur_p)
+ref_p = oracle.double_threshold(oracle.non_max_suppression(sxp, syp), 10, 40)
+out_p = np.asarray(
+    feed_forward_to_stage(
+        jnp.asarray(fr_p.transpose(2, 0, 1)), jnp.int32(10), jnp.int32(40),
+        out_stage=CannyStage.THRESH, block_h=16,
+    )
+)
+if not np.array_equal(out_p, ref_p):
+    failures.append(f"planar ingest n={(out_p != ref_p).sum()}")
 
 # Hysteresis: dense random candidate field (worst-case propagation) and a
 # border-hugging snake seeded from one pixel.
