@@ -13,9 +13,16 @@ This module is the TPU-native answer, and the framework's default
 hysteresis on every backend:
 
 * **Bit packing.** The FINAL and CANDIDATE masks are packed 32 pixels per
-  uint32 lane ((H, ceil(W/32)) words). Every VPU op then processes 32x the
+  uint32 lane, VERTICALLY: word [k, c] holds rows 32k..32k+31 of image
+  column c ((ceil(H/32), W) words). Every VPU op then processes 32x the
   pixels, and a full 1080p state is ~260 KB — the whole convergence loop
-  lives in VMEM with no HBM round trips between steps.
+  lives in VMEM with no HBM round trips between steps. Packing along ROWS
+  keeps the image-column axis minor: production widths are multiples of
+  the 128-lane tile (zero pad waste, the round ops run on exactly the
+  packed words), and pack/unpack become sublane-axis reshapes — no
+  cross-lane gathers in XLA, and the same reshape works inside a Pallas
+  kernel (ops/pallas/hysteresis_fused.py shares this module's round
+  schedule via the injectable shift primitives of ``_make_ops``).
 * **Carry-lookahead run propagation.** Promotion along a scan direction is
   exactly the carry recurrence of an adder: carry_i = g_i | (p_i & carry_-),
   with g = FINAL and p = CANDIDATE. Each of the 8 directions is resolved by
@@ -30,8 +37,9 @@ Promotion is monotone toward the unique global fixed point (the same one
 the oracle's BFS computes, numpy_oracle.hysteresis), so scan order affects
 only speed, never the result. ``max_iters`` caps rounds (the analog of the
 reference's 100-relaunch safety belt, cannyEdgeH.cu:313); because every
-backend calls this same function, outputs are bit-identical across
-backends even when the cap truncates (docs/parity.md).
+backend runs this same round schedule — the Pallas kernel shares it
+function-for-function — outputs are bit-identical across backends even
+when the cap truncates (docs/parity.md).
 
 Everything here is plain jax.numpy on integer types: it runs unchanged on
 CPU (tests), under vmap (batched cameras), and inside shard_map (the
@@ -56,18 +64,19 @@ from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE
 
 
 def _bit_iota() -> jnp.ndarray:
-    """(1, 1, 32) uint32 lane indices, as a traced iota rather than an
-    embedded jnp.arange constant (closure constants can be hoisted into
-    executable parameters, which breaks executable sharing across traces)."""
-    return jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    """(1, 32, 1) uint32 bit indices (one per packed row within a word), as
+    a traced iota rather than an embedded jnp.arange constant (closure
+    constants can be hoisted into executable parameters, which breaks
+    executable sharing across traces)."""
+    return jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
 
 
 #: Cap on the uint32 scratch a single pack/unpack pass may expand to
-#: (bytes) before the pass runs row-chunked. Within this size XLA keeps the
-#: expansion on-chip (the whole 1080p frame, 8.3 MB, compiles with an
-#: S(1)/VMEM placement and the pass runs at ~480 GB/s); far past it the
-#: expansion falls off-chip and every packed word costs an extra 32-byte
-#: HBM round trip (measured 8K: 872 us unchunked vs 456 chunked).
+#: (bytes) before the pass runs word-row-chunked. Within this size XLA
+#: keeps the expansion on-chip (the whole 1080p frame, 8.3 MB, compiles
+#: with an S(1)/VMEM placement); far past it the expansion falls off-chip
+#: and every packed word costs an extra 32-byte HBM round trip (measured
+#: 8K: 872 us unchunked vs 456 chunked, under the pre-r3 row packing).
 _PACK_ONCHIP_BYTES = 16_500_000
 
 #: Target uint32-expansion size per chunk once a pass IS chunked. Swept on
@@ -77,146 +86,146 @@ _PACK_CHUNK_TARGET = 8_000_000
 
 
 def _chunk_count(row_bytes: int) -> int:
-    """Rows per chunk: the largest power of two whose expansion fits the
-    chunk target (measured: power-of-two row counts are distinctly faster
-    than same-size non-powers — 8K pack 308 us at 128 rows vs 495 at 160,
-    424 at 192; unpack 289 at 256 vs 378 at 160)."""
-    rows = max(8, _PACK_CHUNK_TARGET // row_bytes)
+    """Word-rows per chunk: the largest power of two whose expansion fits
+    the chunk target (measured: power-of-two counts are distinctly faster
+    than same-size non-powers; see tools/pack_probe.py)."""
+    rows = max(1, _PACK_CHUNK_TARGET // row_bytes)
     return 1 << (rows.bit_length() - 1)
 
 
-def _chunk_rows(fn, x: jnp.ndarray, h: int, row_bytes: int) -> jnp.ndarray:
-    """Apply ``fn`` (rows-of-x -> rows-of-result) over row chunks sized so
-    each chunk's uint32 expansion stays on-chip; single call when the whole
-    array fits. Chunking is a ``lax.map`` over an (nb, rows, ...) reshape —
-    rows are independent in both pack directions, so zero-padding ``h`` up
-    to the chunk grid and slicing the result back is exact."""
-    if h * row_bytes <= _PACK_ONCHIP_BYTES:
+def _chunk_words(fn, x: jnp.ndarray, hw: int, word_row_bytes: int):
+    """Apply ``fn`` over chunks of word-rows (each word-row = 32 image rows
+    of ``x``, or 1 packed row, depending on direction) sized so each
+    chunk's uint32 expansion stays on-chip; single call when the whole
+    array fits. ``x`` must already be padded to the word grid on axis 0
+    (``hw`` word-rows of ``x.shape[0] // hw`` rows each)."""
+    if hw * word_row_bytes <= _PACK_ONCHIP_BYTES:
         return fn(x)
-    rows = _chunk_count(row_bytes)
-    nb = -(-h // rows)
-    xp = jnp.pad(x, ((0, nb * rows - h), (0, 0)))
-    out = jax.lax.map(fn, xp.reshape(nb, rows, x.shape[1]))
-    return out.reshape(nb * rows, -1)[:h]
+    rows_per_word = x.shape[0] // hw
+    wpc = _chunk_count(word_row_bytes)
+    nb = -(-hw // wpc)
+    xp = jnp.pad(x, ((0, (nb * wpc - hw) * rows_per_word), (0, 0)))
+    out = jax.lax.map(fn, xp.reshape(nb, wpc * rows_per_word, x.shape[1]))
+    return out.reshape(-1, x.shape[1])
 
 
 def pack_mask(mask: jnp.ndarray) -> jnp.ndarray:
-    """Pack a (H, W) boolean mask into (H, ceil(W/32)) uint32 words,
-    LSB-first (bit j of word k = column k*32 + j).
+    """Pack a (H, W) boolean mask into (ceil(H/32), W) uint32 words,
+    LSB-first along rows (bit j of word [k, c] = pixel [k*32 + j, c]).
 
-    The (rows, Ww, 32) shift-and-reduce looks naive but measures FASTER on
-    TPU than a bitcast+SWAR nibble-gather chain (18 us vs 104 us at 1080p,
-    tools/hyster_breakdown.py): the 3-D byte bitcasts force Mosaic
-    relayouts, while XLA fuses this form into one pass. On mega-frames the
-    pass runs row-chunked so its uint32 expansion stays on-chip (see
-    _PACK_ONCHIP_BYTES)."""
+    The (kw, 32, W) shift-and-reduce runs on the SUBLANE axis — the image
+    column axis stays minor throughout, so XLA emits no cross-lane
+    gathers (the pre-r3 row packing reduced across lanes and measured
+    185 us at 4K; this form reuses the same reduce on a layout-friendly
+    axis). On mega-frames the pass runs word-row-chunked so its uint32
+    expansion stays on-chip (see _PACK_ONCHIP_BYTES)."""
     h, w = mask.shape
-    ww = -(-w // 32)
-    m = jnp.pad(mask, ((0, 0), (0, ww * 32 - w)))
+    hw = -(-h // 32)
+    m = jnp.pad(mask, ((0, hw * 32 - h), (0, 0)))
 
     def pack_rows(rows_bool):
-        r = rows_bool.shape[0]
-        expanded = rows_bool.reshape(r, ww, 32).astype(jnp.uint32)
-        return jnp.sum(expanded << _bit_iota(), axis=-1, dtype=jnp.uint32)
+        kw = rows_bool.shape[0] // 32
+        expanded = rows_bool.reshape(kw, 32, w).astype(jnp.uint32)
+        return jnp.sum(expanded << _bit_iota(), axis=1, dtype=jnp.uint32)
 
-    return _chunk_rows(pack_rows, m, h, ww * 32 * 4)
+    return _chunk_words(pack_rows, m, hw, 32 * w * 4)[:hw]
 
 
-def unpack_mask(words: jnp.ndarray, width: int) -> jnp.ndarray:
-    """Inverse of pack_mask: (H, Ww) uint32 -> (H, width) bool."""
-    h, ww = words.shape
+def unpack_mask(words: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Inverse of pack_mask: (Hw, W) uint32 -> (height, W) bool."""
+    hw, w = words.shape
 
     def unpack_rows(rows_u32):
-        bits = (rows_u32[:, :, None] >> _bit_iota()) & np.uint32(1)
+        bits = (rows_u32[:, None, :] >> _bit_iota()) & np.uint32(1)
         # -> bool INSIDE the chunk: a full-frame uint32 bit plane is the
         # exact off-chip expansion the chunking exists to avoid.
-        return bits.reshape(rows_u32.shape[0], ww * 32).astype(jnp.bool_)
+        return bits.astype(jnp.bool_).reshape(rows_u32.shape[0] * 32, w)
 
-    return _chunk_rows(unpack_rows, words, h, ww * 32 * 4)[:, :width]
+    return _chunk_words(unpack_rows, words, hw, 32 * w * 4)[:height]
 
 
 def pack_pair(thresh: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pack the FINAL and CANDIDATE masks of a (H, W) uint8 threshold map,
-    returning both planes in the TRANSPOSED (Ww, H) compute layout.
+    returning both (Hw, W) planes in the compute layout (row-packed: no
+    transpose exists anymore — the packed minor axis IS the image minor
+    axis).
 
     Two regimes, picked by whether ONE mask's uint32 expansion fits the
-    on-chip budget (all variants measured on hardware, tools/pack_probe.py):
+    on-chip budget (variants measured on hardware, tools/pack_probe.py):
 
     * small frames (<= ~1080p): two separate pack_mask passes — each 8.3 MB
       expansion stays on-chip and XLA fuses them cleanly into the engine
-      program (the fused pair holds 16.6 MB live and spills: 18 -> 53 us
-      standalone chunked, +14% on the engine headline).
+      program (a fused pair holds 2x live and spills).
     * mega frames: ONE fused chunked pass reading ``thresh`` once for both
-      masks (8K: 734 us as two pack_mask calls -> 456 us), budgeting 2x
-      per row since both expansions are live at once."""
+      masks, budgeting 2x per word-row since both expansions are live at
+      once."""
     h, w = thresh.shape
-    ww = -(-w // 32)
-    if h * ww * 32 * 4 <= _PACK_ONCHIP_BYTES:
+    hw = -(-h // 32)
+    if hw * 32 * w * 4 <= _PACK_ONCHIP_BYTES:
         return (
-            pack_mask(thresh == np.uint8(FINAL_EDGE)).T,
-            pack_mask(thresh == np.uint8(CANDIDATE_EDGE)).T,
+            pack_mask(thresh == np.uint8(FINAL_EDGE)),
+            pack_mask(thresh == np.uint8(CANDIDATE_EDGE)),
         )
 
     def pair_rows(t_rows):
-        r = t_rows.shape[0]
-        tr = t_rows.reshape(r, ww, 32)
+        kw = t_rows.shape[0] // 32
+        tr = t_rows.reshape(kw, 32, w)
         io = _bit_iota()
         f = jnp.sum(
             (tr == np.uint8(FINAL_EDGE)).astype(jnp.uint32) << io,
-            axis=-1, dtype=jnp.uint32,
+            axis=1, dtype=jnp.uint32,
         )
         p = jnp.sum(
             (tr == np.uint8(CANDIDATE_EDGE)).astype(jnp.uint32) << io,
-            axis=-1, dtype=jnp.uint32,
+            axis=1, dtype=jnp.uint32,
         )
-        # Stack so _chunk_rows sees one array out per chunk.
-        return jnp.stack([f, p])
+        # Concatenate on the word axis so _chunk_words sees one array out.
+        return jnp.concatenate([f, p], axis=0)
 
-    # Both mask expansions are live at once in this pass: budget 2x per row
-    # (always chunked here — the single-expansion early return above already
-    # took every frame small enough to run unchunked).
-    row_bytes = 2 * ww * 32 * 4
-    tp = jnp.pad(thresh, ((0, 0), (0, ww * 32 - w))) if w != ww * 32 else thresh
-    rows = _chunk_count(row_bytes)
-    nb = -(-h // rows)
-    tp = jnp.pad(tp, ((0, nb * rows - h), (0, 0)))
-    fp = jax.lax.map(pair_rows, tp.reshape(nb, rows, ww * 32))
-    fp = fp.transpose(1, 0, 2, 3).reshape(2, nb * rows, ww)[:, :h]
-    return fp[0].T, fp[1].T
+    tp = jnp.pad(thresh, ((0, hw * 32 - h), (0, 0)))
+    # Both mask expansions are live at once in this pass: budget 2x per
+    # word-row (always chunked here — the single-expansion early return
+    # above already took every frame small enough to run unchunked).
+    wpc = _chunk_count(2 * 32 * w * 4)
+    nb = -(-hw // wpc)
+    tp = jnp.pad(tp, ((0, (nb * wpc - hw) * 32), (0, 0)))
+    fp = jax.lax.map(pair_rows, tp.reshape(nb, wpc * 32, w))
+    fp = fp.reshape(nb, 2, wpc, w).transpose(1, 0, 2, 3).reshape(2, -1, w)
+    return fp[0, :hw], fp[1, :hw]
 
 
-# Internal compute layout is the TRANSPOSE of the packed format: (Ww, H)
-# words-by-image-rows, so the image-row axis (length H, e.g. 1080) is the
-# minor/lane axis. XLA pads the minor axis to the 128-lane tile; with the
-# word axis minor (Ww = 60 at 1080p) every VPU op wasted 2.1x lanes —
-# transposing measured 21% faster hysteresis at 1080p (docs/performance.md).
+# Compute layout: (Hw, W) words-by-image-columns — image columns on the
+# minor/lane axis (production widths are 128-multiples: zero lane-pad
+# waste), packed word rows on the major axis. Horizontal neighbors are
+# minor-axis shifts; vertical propagation is in-word bit shifts plus a
+# major-axis word shift for the cross-word carry.
 
 
 def _shift_words(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """out[i, :] = x[i-k, :], zero fill (whole-word = 32-pixel shifts;
-    words are the MAJOR axis of the transposed compute layout)."""
+    """out[i, :] = x[i-k, :], zero fill (whole-word = 32-image-row shifts;
+    words are the MAJOR axis of the compute layout)."""
     if k == 0:
         return x
-    ww = x.shape[0]
+    hw = x.shape[0]
     if k > 0:
-        return jnp.pad(x, ((k, 0), (0, 0)))[:ww]
+        return jnp.pad(x, ((k, 0), (0, 0)))[:hw]
     return jnp.pad(x, ((0, -k), (0, 0)))[-k:]
 
 
-def _shift_rows(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """out[:, i] = x[:, i-k], zero fill (image rows: the MINOR axis of the
-    transposed compute layout)."""
+def _shift_cols(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """out[:, c] = x[:, c-k], zero fill (image columns: the MINOR axis of
+    the compute layout)."""
     if k == 0:
         return x
-    h = x.shape[1]
+    w = x.shape[1]
     if k > 0:
-        return jnp.pad(x, ((0, 0), (k, 0)))[:, :h]
+        return jnp.pad(x, ((0, 0), (k, 0)))[:, :w]
     return jnp.pad(x, ((0, 0), (0, -k)))[:, -k:]
 
 
 def _shift_px(x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """Shift the packed bit stream by ``s`` pixels along the row axis:
-    out[px] = x[px - s] (zero fill at the borders)."""
+    """Shift the packed bit stream by ``s`` pixels along the packed (image
+    ROW) axis: out[row r] = x[row r - s] (zero fill at the borders)."""
     if s == 0:
         return x
     q, r = divmod(abs(s), 32)
@@ -259,28 +268,48 @@ def _scan_dir(f, p, shift, steps: Sequence[int]):
     return g
 
 
+def _dilate8(
+    f: jnp.ndarray,
+    p: jnp.ndarray,
+    exact: bool,
+    shift_cols,
+    shift_px_1,
+    shift_px_1_inexact,
+):
+    """One promotion step: f | (p & 8-neighborhood-OR(f)), bit-parallel.
+    Horizontal neighbors first (2 column shifts), then vertical over the
+    horizontal OR (the 2-pass factorization): in-word bit shifts, plus the
+    cross-word carry on ``exact`` steps.
+
+    The inexact vertical OR drops the cross-word carry: plain
+    ``v<<1 | v>>1`` propagates only WITHIN each 32-row word. That
+    under-approximates one step — a front sitting at a word boundary
+    (image rows 31/32, 63/64, ...) stalls until the next exact step — but
+    promotion stays monotone and below the fixed point, so it is always
+    safe as an *intermediate* step. Every round's LAST step must be exact:
+    then "round produced no growth" still implies the true dilation fixed
+    point and the convergence loop exits at exactly the oracle's answer."""
+    v = f | shift_cols(f, 1) | shift_cols(f, -1)
+    if exact:
+        h = v | shift_px_1(v, 1) | shift_px_1(v, -1)
+    else:
+        h = v | shift_px_1_inexact(v, 1) | shift_px_1_inexact(v, -1)
+    return f | (p & h)
+
+
 def _dilate8_packed(
     f: jnp.ndarray, p: jnp.ndarray, exact: bool = True
 ) -> jnp.ndarray:
-    """One promotion step: f | (p & 8-neighborhood-OR(f)), bit-parallel.
-    Vertical neighbors first, then horizontal over the vertical OR (the
-    2-pass factorization): 2 row shifts + 2 one-pixel bit shifts.
+    """XLA-shift instantiation of _dilate8 (kept for tests/tools)."""
+    return _dilate8(
+        f, p, exact, _shift_cols, _shift_px, _shift_px_inexact
+    )
 
-    ``exact=False`` drops the cross-word horizontal carry (the
-    ``_shift_words`` copy + merge per direction, ~6 of the step's ~17 VPU
-    ops): plain ``v<<1 | v>>1`` propagates horizontally only WITHIN each
-    32-px word. That under-approximates one step — a front sitting at a
-    word boundary stalls until the next exact step — but promotion stays
-    monotone and below the fixed point, so it is always safe as an
-    *intermediate* step. Every round's LAST step must be exact: then
-    "round produced no growth" still implies the true dilation fixed point
-    and the convergence loop exits at exactly the oracle's answer."""
-    v = f | _shift_rows(f, 1) | _shift_rows(f, -1)
-    if exact:
-        h = v | _shift_px(v, 1) | _shift_px(v, -1)
-    else:
-        h = v | (v << np.uint32(1)) | (v >> np.uint32(1))
-    return f | (p & h)
+
+def _shift_px_inexact(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """1-pixel vertical shift WITHOUT the cross-word carry (the cheap
+    intermediate-step operator; see _dilate8)."""
+    return x << np.uint32(1) if s > 0 else x >> np.uint32(1)
 
 
 #: Exact (cross-word-carry) dilation cadence inside a fused round: every
@@ -296,25 +325,37 @@ _CARRY_EVERY = 8
 
 
 def _make_ops(h: int, w: int, dilate_steps: int,
-              carry_every: int = _CARRY_EVERY):
+              carry_every: int = _CARRY_EVERY, shifts=None):
     """Build the two promotion operators: ``dilates`` = dilate_steps fused
     bit-parallel dilations (with the ``carry_every`` exactness cadence);
     ``scans`` = the 8-direction doubling scans.
-    Both are monotone and dominated by the fixed point, so the converged
-    result is identical whatever mix runs — the mix only trades per-round
-    cost against rounds needed (see docs/performance.md)."""
+
+    ``shifts`` injects the three shift primitives as
+    ``(shift_cols, shift_px, shift_px_inexact)`` — None means the XLA
+    pad/slice implementations. The Pallas fused kernel passes roll-based
+    primitives (ops/pallas/hysteresis_fused.py) so BOTH backends execute
+    the exact same round schedule, step cadence, and direction order: that
+    shared schedule is what keeps outputs bit-identical across backends
+    even when ``max_iters`` truncates before the fixed point.
+
+    Both operators are monotone and dominated by the fixed point, so the
+    converged result is identical whatever mix runs — the mix only trades
+    per-round cost against rounds needed (see docs/performance.md)."""
+    shift_cols, shift_px, shift_px_ix = shifts or (
+        _shift_cols, _shift_px, _shift_px_inexact
+    )
     hsteps = _doubling_steps(w)
     vsteps = _doubling_steps(h)
     dsteps = _doubling_steps(min(h, w))
     directions = (
-        (lambda x, s: _shift_px(x, s), hsteps),        # left -> right
-        (lambda x, s: _shift_px(x, -s), hsteps),       # right -> left
-        (lambda x, s: _shift_rows(x, s), vsteps),      # top -> bottom
-        (lambda x, s: _shift_rows(x, -s), vsteps),     # bottom -> top
-        (lambda x, s: _shift_px(_shift_rows(x, s), s), dsteps),    # down-right
-        (lambda x, s: _shift_px(_shift_rows(x, -s), -s), dsteps),  # up-left
-        (lambda x, s: _shift_px(_shift_rows(x, s), -s), dsteps),   # down-left
-        (lambda x, s: _shift_px(_shift_rows(x, -s), s), dsteps),   # up-right
+        (lambda x, s: shift_cols(x, s), hsteps),        # left -> right
+        (lambda x, s: shift_cols(x, -s), hsteps),       # right -> left
+        (lambda x, s: shift_px(x, s), vsteps),          # top -> bottom
+        (lambda x, s: shift_px(x, -s), vsteps),         # bottom -> top
+        (lambda x, s: shift_cols(shift_px(x, s), s), dsteps),    # down-right
+        (lambda x, s: shift_cols(shift_px(x, -s), -s), dsteps),  # up-left
+        (lambda x, s: shift_cols(shift_px(x, s), -s), dsteps),   # down-left
+        (lambda x, s: shift_cols(shift_px(x, -s), s), dsteps),   # up-right
     )
 
     def scans(f, p):
@@ -325,7 +366,7 @@ def _make_ops(h: int, w: int, dilate_steps: int,
     def dilates(f, p):
         for i in range(1, dilate_steps + 1):
             exact = (i % carry_every == 0) or (i == dilate_steps)
-            f = _dilate8_packed(f, p, exact=exact)
+            f = _dilate8(f, p, exact, shift_cols, shift_px, shift_px_ix)
         return f
 
     return dilates, scans
@@ -359,9 +400,6 @@ def hysteresis_packed(
     dilate_steps pixels.
     """
     h, w = thresh.shape
-    # Transposed compute layout (see _shift_words): one 260 KB transpose
-    # each way, 21% less VPU time every round. pack_pair reads thresh once
-    # for both masks (chunked on mega-frames).
     f, p = pack_pair(thresh)
     dilates, scans = _make_ops(h, w, dilate_steps)
 
@@ -397,7 +435,7 @@ def hysteresis_packed(
     # Entered only if phase 1 hit its round cap while still growing.
     f_fix, _, _, iters = jax.lax.while_loop(cond2, body2, state)
 
-    reached = unpack_mask(f_fix.T, w)
+    reached = unpack_mask(f_fix, h)
     if remove_candidates:
         out = jnp.where(reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE))
     else:

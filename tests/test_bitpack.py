@@ -12,7 +12,7 @@ from cudacam_tpu.ops.bitpack import (
     pack_mask,
     unpack_mask,
     _shift_px,
-    _shift_rows,
+    _shift_cols,
 )
 
 
@@ -29,73 +29,74 @@ hysteresis_packed = jax.jit(
 )
 
 
+def _pack_ref(m: np.ndarray) -> np.ndarray:
+    """Independent NumPy reference of the row-packed layout: bit j of word
+    [k, c] = pixel [32k + j, c]."""
+    h, w = m.shape
+    hw = -(-h // 32)
+    padded = np.zeros((hw * 32, w), bool)
+    padded[:h] = m
+    return (
+        padded.reshape(hw, 32, w).astype(np.uint32)
+        << np.arange(32, dtype=np.uint32)[None, :, None]
+    ).sum(axis=1, dtype=np.uint32)
+
+
 class TestPacking:
-    @pytest.mark.parametrize("w", [1, 7, 32, 33, 100, 640])
-    def test_roundtrip(self, w):
-        rng = np.random.default_rng(w)
-        m = rng.random((13, w)) < 0.3
-        rt = np.asarray(unpack_mask(pack_mask(jnp.asarray(m)), w))
+    @pytest.mark.parametrize("h", [1, 7, 32, 33, 100, 640])
+    def test_roundtrip(self, h):
+        rng = np.random.default_rng(h)
+        m = rng.random((h, 13)) < 0.3
+        rt = np.asarray(unpack_mask(pack_mask(jnp.asarray(m)), h))
         assert (rt == m).all()
 
-    @pytest.mark.parametrize("w", [32, 96, 131])
-    def test_word_values_lsb_first(self, w):
-        """Pin the word-level layout (bit j of word k = column 32k+j), not
-        just roundtrip consistency: the SWAR bitcast gather depends on
-        little-endian byte order, and a platform where that differed would
-        silently flip sub-word shift directions."""
-        rng = np.random.default_rng(w)
-        m = rng.random((5, w)) < 0.5
+    @pytest.mark.parametrize("h", [32, 96, 131])
+    def test_word_values_lsb_first(self, h):
+        """Pin the word-level layout (bit j of word [k, c] = image row
+        32k+j of column c), not just roundtrip consistency: every shift
+        primitive's sub-word direction depends on it."""
+        rng = np.random.default_rng(h)
+        m = rng.random((h, 5)) < 0.5
         got = np.asarray(pack_mask(jnp.asarray(m)))
-        ww = -(-w // 32)
-        padded = np.zeros((5, ww * 32), bool)
-        padded[:, :w] = m
-        want = (
-            np.packbits(padded, axis=1, bitorder="little")
-            .view("<u4")
-            .reshape(5, ww)
-        )
-        np.testing.assert_array_equal(got, want)
+        np.testing.assert_array_equal(got, _pack_ref(m))
 
     def test_chunked_path_matches_unchunked(self):
-        """Mega-frame masks take the row-chunked pack/unpack path (the u32
-        expansion must stay on-chip, bitpack._PACK_ONCHIP_BYTES); its output
-        must be bit-identical to the single-pass form, including at a
-        height that does NOT divide the chunk grid (exercises the zero-pad
-        + slice-back)."""
+        """Mega-frame masks take the word-row-chunked pack/unpack path (the
+        u32 expansion must stay on-chip, bitpack._PACK_ONCHIP_BYTES); its
+        output must be bit-identical to the single-pass form, including at
+        a height that does NOT divide the chunk grid (exercises the
+        zero-pad + slice-back)."""
         from cudacam_tpu.ops import bitpack
 
-        h, w = 601, 7680  # row_bytes = 240*128 -> chunked past the budget
-        assert h * (-(-w // 32)) * 32 * 4 > bitpack._PACK_ONCHIP_BYTES
+        h, w = 601, 7680  # 19 word-rows x 983 KB -> chunked past the budget
+        assert (-(-h // 32)) * 32 * w * 4 > bitpack._PACK_ONCHIP_BYTES
         rng = np.random.default_rng(0)
         m = rng.random((h, w)) < 0.4
         got = np.asarray(pack_mask(jnp.asarray(m)))
-        want = (
-            np.packbits(m, axis=1, bitorder="little").view("<u4")
-        ).reshape(h, -1)
-        np.testing.assert_array_equal(got, want)
-        rt = np.asarray(unpack_mask(jnp.asarray(got), w))
+        np.testing.assert_array_equal(got, _pack_ref(m))
+        rt = np.asarray(unpack_mask(jnp.asarray(got), h))
         assert (rt == m).all()
 
     def test_chunk_count_power_of_two(self):
-        """Chunk row counts must be powers of two >= 8 (measured distinctly
-        faster on hardware than same-size non-powers) and shrink as rows
-        get wider."""
+        """Chunk word-row counts must be powers of two (measured distinctly
+        faster on hardware than same-size non-powers) and shrink as
+        word-rows get wider."""
         from cudacam_tpu.ops.bitpack import _chunk_count, _PACK_CHUNK_TARGET
 
         prev = None
         for row_bytes in (1024, 30720, 61440, 10**6, 10**8):
             rows = _chunk_count(row_bytes)
-            assert rows >= 8 and (rows & (rows - 1)) == 0
-            if rows > 8:  # above the floor, chunks stay near the target
+            assert rows >= 1 and (rows & (rows - 1)) == 0
+            if rows > 1:  # above the floor, chunks stay near the target
                 assert rows * row_bytes <= 2 * _PACK_CHUNK_TARGET
             if prev is not None:
                 assert rows <= prev
             prev = rows
 
-    @pytest.mark.parametrize("h,w", [(13, 100), (601, 7680)])
+    @pytest.mark.parametrize("h,w", [(100, 13), (601, 7680)])
     def test_pack_pair_matches_pack_mask(self, h, w):
         """The fused one-read pair pack (small = single pass, large =
-        chunked) must equal two independent pack_mask calls, transposed."""
+        chunked) must equal two independent pack_mask calls."""
         from cudacam_tpu.ops.bitpack import pack_pair
         from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE
 
@@ -105,42 +106,42 @@ class TestPacking:
         )
         f, p = pack_pair(jnp.asarray(t))
         np.testing.assert_array_equal(
-            np.asarray(f), np.asarray(pack_mask(jnp.asarray(t == FINAL_EDGE))).T
+            np.asarray(f), np.asarray(pack_mask(jnp.asarray(t == FINAL_EDGE)))
         )
         np.testing.assert_array_equal(
             np.asarray(p),
-            np.asarray(pack_mask(jnp.asarray(t == CANDIDATE_EDGE))).T,
+            np.asarray(pack_mask(jnp.asarray(t == CANDIDATE_EDGE))),
         )
 
     @pytest.mark.parametrize("s", [1, 2, 5, 31, 32, 33, 64, 100])
     @pytest.mark.parametrize("sign", [1, -1])
     def test_shift_px(self, s, sign):
+        """_shift_px moves the packed bit stream along the image ROW axis."""
         rng = np.random.default_rng(s)
-        m = rng.random((5, 200)) < 0.4
-        # helpers operate on the transposed (Ww, H) compute layout
+        m = rng.random((200, 5)) < 0.4
         shifted = np.asarray(
-            unpack_mask(_shift_px(pack_mask(jnp.asarray(m)).T, sign * s).T, 200)
+            unpack_mask(_shift_px(pack_mask(jnp.asarray(m)), sign * s), 200)
         )
         want = np.zeros_like(m)
         if sign > 0:
-            want[:, s:] = m[:, :-s]
+            want[s:] = m[:-s]
         else:
-            want[:, :-s] = m[:, s:]
-        # Bits beyond width live in the pad word; ignore them by re-slicing.
+            want[:-s] = m[s:]
+        # Bits beyond height live in the pad word; unpack re-slices them off.
         assert (shifted == want).all()
 
     @pytest.mark.parametrize("s", [1, 3, -1, -4])
-    def test_shift_rows(self, s):
+    def test_shift_cols(self, s):
         rng = np.random.default_rng(abs(s))
-        m = rng.random((11, 64)) < 0.4
+        m = rng.random((64, 11)) < 0.4
         shifted = np.asarray(
-            unpack_mask(_shift_rows(pack_mask(jnp.asarray(m)).T, s).T, 64)
+            unpack_mask(_shift_cols(pack_mask(jnp.asarray(m)), s), 64)
         )
         want = np.zeros_like(m)
         if s > 0:
-            want[s:] = m[:-s]
+            want[:, s:] = m[:, :-s]
         else:
-            want[:s] = m[-s:]
+            want[:, :s] = m[:, -s:]
         assert (shifted == want).all()
 
 
@@ -233,15 +234,15 @@ class TestHysteresisPacked:
 
     def test_word_boundary_runs_with_carry_cadence(self):
         """The carry-free (exact=False) intermediate dilations drop the
-        cross-word horizontal carry; a front sitting exactly at a 32-px word
+        cross-word VERTICAL carry; a front sitting exactly at a 32-row word
         boundary must still converge to the oracle fixed point because every
-        carry_every-th and last step is exact. Seeds at columns 31/32 and
-        63/64 with long horizontal candidate runs are the adversarial case."""
-        t = np.zeros((9, 160), np.uint8)
-        t[1, 1:150] = 128; t[1, 31] = 255   # seed at the last bit of word 0
-        t[3, 1:150] = 128; t[3, 32] = 255   # seed at the first bit of word 1
-        t[5, 1:150] = 128; t[5, 63] = 255
-        t[7, 1:150] = 128; t[7, 64] = 255
+        carry_every-th and last step is exact. Seeds at rows 31/32 and
+        63/64 with long vertical candidate runs are the adversarial case."""
+        t = np.zeros((160, 9), np.uint8)
+        t[1:150, 1] = 128; t[31, 1] = 255   # seed at the last bit of word 0
+        t[1:150, 3] = 128; t[32, 3] = 255   # seed at the first bit of word 1
+        t[1:150, 5] = 128; t[63, 5] = 255
+        t[1:150, 7] = 128; t[64, 7] = 255
         want = oracle.hysteresis(t)
         for ds in (4, 16):
             got = np.asarray(
@@ -258,18 +259,18 @@ class TestHysteresisPacked:
 
         rng = np.random.default_rng(21)
         t = rng.choice(
-            [0, 128, 255], size=(48, 200), p=[0.45, 0.45, 0.10]
+            [0, 128, 255], size=(200, 48), p=[0.45, 0.45, 0.10]
         ).astype(np.uint8)
-        t[10, 1:199] = 128
-        t[10, 33] = 255  # long run + word-boundary seed in the same frame
+        t[1:199, 10] = 128
+        t[33, 10] = 255  # long run + word-boundary seed in the same frame
 
         def converge(carry_every):
             f, p = pack_pair(jnp.asarray(t))
-            dilates, _ = _make_ops(48, 200, 16, carry_every=carry_every)
+            dilates, _ = _make_ops(200, 48, 16, carry_every=carry_every)
             prev = None
             for _ in range(40):
                 f = dilates(f, p)
-                cur = np.asarray(unpack_mask(f.T, 200))
+                cur = np.asarray(unpack_mask(f, 200))
                 if prev is not None and (cur == prev).all():
                     break
                 prev = cur

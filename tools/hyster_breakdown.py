@@ -45,15 +45,15 @@ def run_size(h, w, tag):
     )
 
     pack_fn = named(f"v_pack_{tag}", lambda t: (
-        pack_mask(t == FINAL_EDGE).T,
-        pack_mask(t == CANDIDATE_EDGE).T,
+        pack_mask(t == FINAL_EDGE),
+        pack_mask(t == CANDIDATE_EDGE),
     ))
     f0, p0 = jax.block_until_ready(pack_fn(thresh))
 
     unpack_fn = named(
         f"v_unpack_{tag}",
         lambda f: jnp.where(
-            unpack_mask(f.T, w), jnp.uint8(FINAL_EDGE), jnp.uint8(0)
+            unpack_mask(f, h), jnp.uint8(FINAL_EDGE), jnp.uint8(0)
         ),
     )
     jax.block_until_ready(unpack_fn(f0))

@@ -1,6 +1,11 @@
 """One-off probe: is the fused pack_pair slower than two pack_mask calls
 at 1080p (where its 2x uint32 expansion, 16.6 MB, just exceeds the
-on-chip budget its chunk decision only counts once)? Run ON TPU."""
+on-chip budget its chunk decision only counts once)? Run ON TPU.
+NOTE: archived r2 probe of the pre-r3 ROW-packed layout
+(bitpack now packs 32 image rows per word; its recorded regime
+conclusions carried over; the variant bodies were updated to the new
+layout).
+"""
 import os
 import sys
 import json
@@ -36,8 +41,8 @@ for key, h, w, tag in (("1080p", 1080, 1920, "fhd"), ("8k", 4320, 7680, "ek")):
     )
     pair_fn = named(f"p_pair_{tag}", lambda t: pack_pair(t))
     sep_fn = named(f"p_sep_{tag}", lambda t: (
-        pack_mask(t == FINAL_EDGE).T,
-        pack_mask(t == CANDIDATE_EDGE).T,
+        pack_mask(t == FINAL_EDGE),
+        pack_mask(t == CANDIDATE_EDGE),
     ))
     jax.block_until_ready(pair_fn(thresh))
     jax.block_until_ready(sep_fn(thresh))

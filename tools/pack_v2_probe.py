@@ -11,6 +11,10 @@ unpack: bitcast words to (H, Ww, 4) u8 -> 8x byte expansion with u8
 
 Correctness is asserted vs the shipping pack_mask/unpack_mask on every
 run (any platform); timings print on TPU.
+
+NOTE: archived r2 probe of the pre-r3 ROW-packed layout
+(bitpack now packs 32 image rows per word; kept for the recorded
+conclusions in its docstring, not as a shipping-layout check).
 """
 import os
 import sys

@@ -33,8 +33,8 @@ from cudacam_tpu.ops.bitpack import (
     _doubling_steps,
     _make_ops,
     _scan_dir,
+    _shift_cols,
     _shift_px,
-    _shift_rows,
     pack_pair,
     unpack_mask,
 )
@@ -55,14 +55,14 @@ def make_chase(h, w, axial_depth, diag_depth):
     vsteps = _truncated(_doubling_steps(h), axial_depth)
     dsteps = _truncated(_doubling_steps(min(h, w)), diag_depth)
     directions = (
-        (lambda x, s: _shift_px(x, s), hsteps),
-        (lambda x, s: _shift_px(x, -s), hsteps),
-        (lambda x, s: _shift_rows(x, s), vsteps),
-        (lambda x, s: _shift_rows(x, -s), vsteps),
-        (lambda x, s: _shift_px(_shift_rows(x, s), s), dsteps),
-        (lambda x, s: _shift_px(_shift_rows(x, -s), -s), dsteps),
-        (lambda x, s: _shift_px(_shift_rows(x, s), -s), dsteps),
-        (lambda x, s: _shift_px(_shift_rows(x, -s), s), dsteps),
+        (lambda x, s: _shift_cols(x, s), hsteps),
+        (lambda x, s: _shift_cols(x, -s), hsteps),
+        (lambda x, s: _shift_px(x, s), vsteps),
+        (lambda x, s: _shift_px(x, -s), vsteps),
+        (lambda x, s: _shift_cols(_shift_px(x, s), s), dsteps),
+        (lambda x, s: _shift_cols(_shift_px(x, -s), -s), dsteps),
+        (lambda x, s: _shift_cols(_shift_px(x, s), -s), dsteps),
+        (lambda x, s: _shift_cols(_shift_px(x, -s), s), dsteps),
     )
 
     def chase(f, p):
@@ -96,7 +96,7 @@ def converge_loop(round_op, thresh, h, w, max_iters=100):
     f_fix, _, _, iters = jax.lax.while_loop(
         cond, body, (f1, count(f), count(f1), jnp.int32(1))
     )
-    return unpack_mask(f_fix.T, w), iters
+    return unpack_mask(f_fix, h), iters
 
 
 def named(name, f):
