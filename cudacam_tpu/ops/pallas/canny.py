@@ -12,8 +12,12 @@ Mirrors xla_ops.canny_to_stage's cumulative run-to-stage-k contract
   rgb2mono kernel). Off-granule sizes, grayscale configs, and the MONO
   display stage fall back to the XLA mono pass feeding the mono kernel;
 * GAUSSIAN..THRESH runs in that same fused kernel either way;
-* HYSTER adds the bit-packed convergence loop (ops/bitpack.py) — the
-  canonical hysteresis shared by every backend. (The sequential-sweep
+* HYSTER runs the fused Pallas hysteresis kernel (hysteresis_fused.py):
+  pack + both convergence phases + unpack in ONE kernel, bit-identical to
+  the canonical bit-packed loop because both execute bitpack._make_ops'
+  shared round schedule (1080p scene: 109 -> 71 us device time). Frames
+  whose shape or packed state don't fit the kernel (off-granule sizes,
+  8K) fall back to the XLA loop (ops/bitpack.py). (The sequential-sweep
   Pallas kernel in hysteresis.py remains available as an independently
   derived implementation, but measures ~6x slower on real scenes:
   docs/performance.md.)
@@ -26,7 +30,29 @@ from cudacam_tpu.config import CannyConfig
 from cudacam_tpu.ops import xla_ops
 from cudacam_tpu.ops.bitpack import hysteresis_packed
 from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok, hysteresis_fused
 from cudacam_tpu.stages import CannyStage
+
+
+def _hyster(thresh, cfg: CannyConfig, interpret: bool):
+    """Backend-internal hysteresis dispatch: the fused kernel when the
+    frame qualifies, the canonical XLA loop otherwise — bit-identical
+    either way (shared round schedule, see hysteresis_fused.py)."""
+    h, w = thresh.shape
+    if fused_ok(h, w):
+        return hysteresis_fused(
+            thresh,
+            max_iters=cfg.max_hysteresis_iters,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            interpret=interpret,
+        )
+    return hysteresis_packed(
+        thresh,
+        max_iters=cfg.max_hysteresis_iters,
+        dilate_steps=cfg.hysteresis_inner_steps,
+        scan_after=cfg.hysteresis_scan_after,
+    )
 
 
 def _planar_ok(frame: jnp.ndarray) -> bool:
@@ -76,12 +102,7 @@ def canny_to_stage_pallas(
         interpret=interpret,
     )
     if final_stage == CannyStage.HYSTER:
-        out = hysteresis_packed(
-            out,
-            max_iters=cfg.max_hysteresis_iters,
-            dilate_steps=cfg.hysteresis_inner_steps,
-            scan_after=cfg.hysteresis_scan_after,
-        )
+        out = _hyster(out, cfg, interpret)
     return out
 
 
@@ -100,7 +121,6 @@ def canny_all_stages_pallas(
     kernel once per stage. The float inspection planes (sobel_x/y, grad,
     slope) are display-only derivations computed by XLA from the kernel's
     own blur buffer (bit-exact inputs; see docs/parity.md)."""
-    from cudacam_tpu.ops.bitpack import hysteresis_packed as _hp
     from cudacam_tpu.ops.pallas.feedforward import feed_forward_all_stages
 
     mono = xla_ops.rgb2mono(frame)
@@ -129,10 +149,5 @@ def canny_all_stages_pallas(
         "gradient_display": grad_disp,
         "nms": nms,
         "thresh": thresh,
-        "hyster": _hp(
-            thresh,
-            max_iters=cfg.max_hysteresis_iters,
-            dilate_steps=cfg.hysteresis_inner_steps,
-            scan_after=cfg.hysteresis_scan_after,
-        ),
+        "hyster": _hyster(thresh, cfg, interpret),
     }

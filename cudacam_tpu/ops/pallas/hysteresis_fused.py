@@ -1,0 +1,328 @@
+"""Fused Pallas hysteresis: pack + convergence + scans + unpack, ONE kernel.
+
+The bit-packed hysteresis (ops/bitpack.py) is exactly the right algorithm,
+but run as XLA ops its 1080p frame spends ~24 us packing/unpacking through
+HBM and ~109 us in a convergence loop whose every round re-materializes a
+~300 KB state (tools/hyster_breakdown.py). This kernel runs the whole
+operator on-chip:
+
+* the (H, W) uint8 threshold map is DMA'd HBM->VMEM in 128-row chunks
+  (double buffered) and packed in-VMEM into the row-major bit layout of
+  ops/bitpack.py (32 image rows per uint32 word);
+* BOTH phases — the dilation rounds and the escalation rounds with
+  8-direction carry-lookahead scans — run as ``lax.while_loop``s whose
+  state lives in a VMEM scratch ref: zero HBM traffic between rounds;
+* the converged plane is unpacked in-VMEM and written out as the final
+  uint8 edge map, one pipelined output block per grid step.
+
+Round-schedule parity: both phases' round operators are built by the SAME
+factory as every other backend (``bitpack._make_ops``) with this module's
+roll-based shift primitives injected — step cadence, direction order,
+doubling-step sequences, and round counting are shared code, so outputs
+stay bit-identical across backends even when ``max_iters`` truncates (the
+CLAUDE.md invariant; docs/parity.md).
+
+Zero-fill shift semantics under ``pltpu.roll``'s wraparound come from a
+guard ring: the packed planes carry one guard word-row (32 image rows) and
+128 guard lanes that hold zero FOREVER — a promotion can only set bits
+where CANDIDATE is set, and the guards have no candidates; inside a scan,
+``pp`` (propagate) is zero in the guards so ``g`` never grows there
+either. Hence any shift whose reach is within the guard ring wraps only
+zeros into real pixels and needs no masking (every dilation, and most scan
+steps); scan steps that reach PAST the ring (lane shifts > 128 px,
+word shifts > 1 word-row) AND the wrapped region with an iota mask to
+reproduce exact zero fill. The same guard-ring idea as the feed-forward
+slab (feedforward.py).
+
+Reference analog being replaced: the host relaunch loop around the
+hysteresis kernel, /root/reference/src/cvp/cannyEdgeH.cu:297-338, and the
+per-block shared-memory iteration of cannyEdgeD.cu:295-377.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cudacam_tpu.ops import bitpack
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE
+
+#: Guard lanes appended to the packed width so lane rolls wrap zeros.
+_GUARD_LANES = 128
+
+#: VMEM budget for the packed working set: ~6 plane-sized u32 arrays are
+#: simultaneously live inside a scan round (f, p, g, pp + shifted
+#: temporaries), plus chunk buffers and the pipelined output block.
+_PLANE_BUDGET = 1_600_000
+
+
+def _geometry(h: int, w: int) -> Tuple[int, int, int, int]:
+    """(chunk_rows, n_chunks, hwp, wp) for a (h, w) frame."""
+    # 128-row chunks: 256-row chunking put 4K past the 16 MB scoped-VMEM
+    # limit by ~0.8 MB (chunk + output double buffers).
+    ch = 128 if h > 128 else ((h + 31) // 32) * 32
+    n_chunks = -(-h // ch)
+    hwp = n_chunks * (ch // 32) + 1  # +1: zero guard word-row for roll wrap
+    wp = w + _GUARD_LANES
+    return ch, n_chunks, hwp, wp
+
+
+def fused_ok(h: int, w: int) -> bool:
+    """True when the fused kernel applies: DMA-granule-aligned shape and a
+    packed working set that fits VMEM (~1080p..4K; 8K's 4.5 MB planes
+    would put a round's live set past the 16 MB scoped limit — those
+    sizes keep the XLA loop, whose mega-frame chunking already exists)."""
+    if h % 8 or w % 128 or h < 32:
+        return False
+    _, _, hwp, wp = _geometry(h, w)
+    return hwp * wp * 4 <= _PLANE_BUDGET
+
+
+def _make_pl_shifts(hwp: int, wp: int):
+    """The three shift primitives ``bitpack._make_ops`` injects, as Pallas
+    rolls over the guard-ringed (hwp, wp) planes. Masking policy per the
+    module docstring: free within the guard ring, iota-masked past it."""
+
+    def shift_words(x: jnp.ndarray, k: int) -> jnp.ndarray:
+        # out[i, :] = x[i-k, :]; one guard word-row -> |k| <= 1 free.
+        if k == 0:
+            return x
+        rolled = pltpu.roll(x, k % hwp, 0)
+        if abs(k) <= 1:
+            return rolled
+        io = jax.lax.broadcasted_iota(jnp.int32, (hwp, 1), 0)
+        keep = (io >= k) if k > 0 else (io < hwp + k)
+        return rolled * keep.astype(jnp.uint32)
+
+    def shift_cols(x: jnp.ndarray, k: int) -> jnp.ndarray:
+        # out[:, c] = x[:, c-k]; 128 guard lanes -> |k| <= 128 free.
+        if k == 0:
+            return x
+        rolled = pltpu.roll(x, k % wp, 1)
+        if abs(k) <= _GUARD_LANES:
+            return rolled
+        io = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        keep = (io >= k) if k > 0 else (io < wp + k)
+        return rolled * keep.astype(jnp.uint32)
+
+    def shift_px(x: jnp.ndarray, s: int) -> jnp.ndarray:
+        # out[row r] = x[row r-s]: same q/r decomposition as
+        # bitpack._shift_px, with shift_words above supplying zero fill.
+        if s == 0:
+            return x
+        q, r = divmod(abs(s), 32)
+        if s > 0:
+            base = shift_words(x, q)
+            if r == 0:
+                return base
+            return (base << jnp.uint32(r)) | (
+                shift_words(base, 1) >> jnp.uint32(32 - r)
+            )
+        base = shift_words(x, -q)
+        if r == 0:
+            return base
+        return (base >> jnp.uint32(r)) | (
+            shift_words(base, -1) << jnp.uint32(32 - r)
+        )
+
+    def shift_px_inexact(x: jnp.ndarray, s: int) -> jnp.ndarray:
+        # bitpack's cheap intermediate-step operator (no cross-word carry).
+        return x << jnp.uint32(1) if s > 0 else x >> jnp.uint32(1)
+
+    return shift_cols, shift_px, shift_px_inexact
+
+
+def _kernel(
+    thresh_hbm,
+    out_ref,
+    flags_ref,
+    chunk,
+    f_ref,
+    p_ref,
+    sems,
+    *,
+    h: int,
+    w: int,
+    ch: int,
+    n_chunks: int,
+    hwp: int,
+    wp: int,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+):
+    i = pl.program_id(0)
+    kw = ch // 32  # word-rows per chunk
+    n_last = h - (n_chunks - 1) * ch  # rows in the last chunk (mult of 8)
+
+    def dma(slot, k):
+        n = n_last if k == n_chunks - 1 else ch
+        return pltpu.make_async_copy(
+            thresh_hbm.at[pl.ds(k * ch, n), :],  # k*ch static: unrolled loop
+            chunk.at[slot, pl.ds(0, n), pl.ds(0, w)],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        # ---- pack: DMA chunks in, double buffered; pack both planes -----
+        # Zero what the DMAs don't fill: guard lanes of both slots, the
+        # last chunk's tail rows, the planes' guard word-row.
+        chunk[0, :, w:] = jnp.zeros((ch, wp - w), jnp.uint8)
+        chunk[1 % min(2, n_chunks), :, w:] = jnp.zeros((ch, wp - w), jnp.uint8)
+        f_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+        p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+
+        dma(0, 0).start()
+        io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+        for k in range(n_chunks):
+            if k + 1 < n_chunks:
+                dma((k + 1) % 2, k + 1).start()
+            dma(k % 2, k).wait()
+            if k == n_chunks - 1 and n_last < ch:
+                chunk[k % 2, n_last:, :] = jnp.zeros(
+                    (ch - n_last, wp), jnp.uint8
+                )
+            # Upcast before comparing: Mosaic has no packed-i8 vector
+            # compare on this target, same reason the FF slab upcasts.
+            t = chunk[k % 2].astype(jnp.int32)
+            # int32 modular adds of distinct powers of two == the u32 OR
+            # (Mosaic: u32 reductions unimplemented; verified in
+            # tools/hyster_kernel_probe.py).
+            fb = (t == FINAL_EDGE).astype(jnp.int32)
+            pb = (t == CANDIDATE_EDGE).astype(jnp.int32)
+            f_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
+                fb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
+            ).astype(jnp.uint32)
+            p_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
+                pb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
+            ).astype(jnp.uint32)
+
+        # ---- both convergence phases: bitpack's schedule on VMEM state --
+        dilates, scans = bitpack._make_ops(
+            h, w, dilate_steps, carry_every=carry_every,
+            shifts=_make_pl_shifts(hwp, wp),
+        )
+        p = p_ref[:, :]
+
+        def rounder(op):
+            def round_once(carry):
+                it, _ = carry
+                f = f_ref[:, :]
+                nf = op(f, p)
+                f_ref[:, :] = nf
+                return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+            return round_once
+
+        round1 = rounder(dilates)
+        round2 = rounder(lambda f, p: scans(dilates(f, p), p))
+
+        # Phase 1: first round unconditionally (the reference always
+        # launches once before reading its flag, cannyEdgeH.cu:313), then
+        # dilation rounds while the state grows, up to min(scan_after,
+        # max_iters). Phase 2: escalated rounds (dilations + 8-direction
+        # scans) up to max_iters. Identical loop structure and counting to
+        # bitpack.hysteresis_packed's two while_loops (growth == change:
+        # promotion is monotone).
+        cap1 = min(scan_after, max_iters)
+        it, changed = round1((jnp.int32(0), jnp.int32(0)))
+        it, changed = jax.lax.while_loop(
+            lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+        )
+        it, changed = jax.lax.while_loop(
+            lambda c: (c[1] == 1) & (c[0] < max_iters), round2, (it, changed)
+        )
+        flags_ref[0, 0] = it
+        flags_ref[0, 1] = changed
+
+    # ---- unpack this grid step's block from the resident state ----------
+    io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
+    for k in range(kw):
+        word = f_ref[pl.ds(i * kw + k, 1), pl.ds(0, w)]
+        bits = (jnp.broadcast_to(word, (32, w)) >> io32) & jnp.uint32(1)
+        out_ref[k * 32 : (k + 1) * 32, :] = (
+            bits * jnp.uint32(FINAL_EDGE)
+        ).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters", "dilate_steps", "scan_after", "carry_every", "interpret",
+    ),
+)
+def _fused_call(
+    thresh: jnp.ndarray,
+    max_iters: int,
+    dilate_steps: int,
+    scan_after: int,
+    carry_every: int,
+    interpret: bool,
+):
+    h, w = thresh.shape
+    ch, n_chunks, hwp, wp = _geometry(h, w)
+    kern = functools.partial(
+        _kernel,
+        h=h, w=w, ch=ch, n_chunks=n_chunks, hwp=hwp, wp=wp,
+        dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    out, flags = pl.pallas_call(
+        kern,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((ch, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_chunks * ch, w), jnp.uint8),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ch, wp), jnp.uint8),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # The scan rounds hold ~8 plane-sized temporaries live; at 4K
+            # that puts the conservative scoped accounting past the 16 MB
+            # default. v5e VMEM is physically larger — raise the cap (the
+            # 1080p program stays under the default either way).
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(thresh)
+    return out[:h] if n_chunks * ch != h else out, flags
+
+
+def hysteresis_fused(
+    thresh: jnp.ndarray,
+    max_iters: int = 100,
+    return_iters: bool = False,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    interpret: bool = False,
+):
+    """Drop-in for ``bitpack.hysteresis_packed(..., remove_candidates=True)``
+    on the Pallas backend: same arguments, bit-identical output (including
+    under cap truncation — shared round schedule), at a fraction of the
+    device time (1080p scene: 109 -> ~70 us). Callers must check
+    :func:`fused_ok` first (ops/pallas/canny.py falls back to the XLA loop
+    otherwise)."""
+    out, flags = _fused_call(
+        thresh, max_iters, dilate_steps, scan_after,
+        bitpack._CARRY_EVERY, interpret,
+    )
+    if return_iters:
+        return out, flags[0, 0]
+    return out

@@ -1,0 +1,105 @@
+"""Fused Pallas hysteresis kernel (ops/pallas/hysteresis_fused.py).
+
+The kernel's contract is BIT-IDENTITY with the canonical XLA loop
+(bitpack.hysteresis_packed) in every regime — converged, cap-truncated,
+and phase-2-escalated — because both execute bitpack._make_ops' shared
+round schedule. These tests enforce that contract in interpret mode (the
+only Pallas execution on CPU); tests/test_pallas_ops.py's TPU subprocess
+enforces it on hardware at 1080p including the adversarial spiral.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cudacam_tpu.io.sources import make_spiral_thresh
+from cudacam_tpu.ops import numpy_oracle as oracle
+from cudacam_tpu.ops.bitpack import hysteresis_packed
+from cudacam_tpu.ops.pallas.hysteresis_fused import (
+    _geometry,
+    fused_ok,
+    hysteresis_fused,
+)
+
+_hp = jax.jit(
+    hysteresis_packed,
+    static_argnames=(
+        "max_iters", "dilate_steps", "scan_after", "return_iters",
+    ),
+)
+
+
+class TestGeometry:
+    def test_fused_ok_production_sizes(self):
+        assert fused_ok(1080, 1920)   # 1080p
+        assert fused_ok(720, 1280)    # 720p
+        assert fused_ok(2160, 3840)   # 4K
+        assert not fused_ok(4320, 7680)  # 8K: packed planes past budget
+        assert not fused_ok(1079, 1920)  # off the 8-row DMA granule
+        assert not fused_ok(1080, 1921)  # off the 128-lane granule
+        assert not fused_ok(24, 128)     # below one packed word-row
+
+    def test_geometry_invariants(self):
+        for h, w in [(32, 128), (320, 256), (1080, 1920), (2160, 3840)]:
+            ch, n_chunks, hwp, wp = _geometry(h, w)
+            assert ch % 32 == 0 and n_chunks * ch >= h
+            # >= 1 zero guard word-row past the data, 128 guard lanes.
+            assert hwp > -(-h // 32)
+            assert wp == w + 128
+
+
+@pytest.mark.slow
+class TestFusedParity:
+    """Interpret-mode bit-identity vs the canonical loop (and transitively
+    the oracle, which test_bitpack pins against hysteresis_packed)."""
+
+    def _check(self, t, **kw):
+        got, gi = hysteresis_fused(
+            jnp.asarray(t), return_iters=True, interpret=True, **kw
+        )
+        want, wi = _hp(jnp.asarray(t), return_iters=True, **kw)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert int(gi) == int(wi), (int(gi), int(wi))
+        return np.asarray(got)
+
+    def test_random_fields(self):
+        rng = np.random.default_rng(5)
+        for h, w in [(32, 128), (64, 256), (320, 128)]:
+            t = rng.choice(
+                [0, 128, 255], size=(h, w), p=[0.5, 0.4, 0.1]
+            ).astype(np.uint8)
+            out = self._check(t)
+            np.testing.assert_array_equal(out, oracle.hysteresis(t))
+
+    def test_cap_truncation_and_escalation(self):
+        """Every phase boundary: capped mid-phase-1, capped at phase
+        entry, escalated to scans, converged, and the always-one-round
+        floor (max_iters=0)."""
+        t = make_spiral_thresh(64, 256)
+        for kw in (
+            dict(max_iters=2, dilate_steps=16, scan_after=10),
+            dict(max_iters=3, dilate_steps=4, scan_after=2),
+            dict(max_iters=100, dilate_steps=4, scan_after=2),
+            dict(max_iters=100, dilate_steps=16, scan_after=10),
+            dict(max_iters=0, dilate_steps=16, scan_after=10),
+        ):
+            self._check(t, **kw)
+
+    def test_long_straight_run_scans(self):
+        """A 4 kpx run exercises the masked large-shift scan steps (lane
+        shifts far past the 128-lane guard ring)."""
+        t = np.zeros((32, 4096), np.uint8)
+        t[4, 1:4090] = 128
+        t[4, 1] = 255
+        out = self._check(t, dilate_steps=4, scan_after=2)
+        np.testing.assert_array_equal(
+            out == 255, oracle.hysteresis(t) == 255
+        )
+
+    def test_vertical_run_word_shifts(self):
+        """A tall run exercises masked word-axis shifts past the single
+        guard word-row (vertical scan steps of 64+ rows)."""
+        t = np.zeros((512, 128), np.uint8)
+        t[1:500, 4] = 128
+        t[1, 4] = 255
+        self._check(t, dilate_steps=4, scan_after=2)

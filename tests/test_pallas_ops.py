@@ -224,6 +224,24 @@ out_p = np.asarray(
 if not np.array_equal(out_p, ref_p):
     failures.append(f"planar ingest n={(out_p != ref_p).sum()}")
 
+# Fused hysteresis kernel at a qualifying (granule) shape: bit-identity
+# with the canonical XLA loop on hardware, converged AND cap-truncated
+# (the cross-backend contract of hysteresis_fused.py).
+from cudacam_tpu.ops.bitpack import hysteresis_packed as _hpk
+from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok, hysteresis_fused
+
+t_f = rng.choice([0, 128, 255], size=(64, 256), p=[0.4, 0.5, 0.1]).astype(np.uint8)
+t_f[8, 1:250] = 128; t_f[8, 3] = 255
+assert fused_ok(64, 256)
+_hp_jit = jax.jit(_hpk, static_argnames=("max_iters", "dilate_steps", "scan_after"))
+for mi, ds, sa in ((100, 16, 10), (3, 4, 2)):
+    gf = np.asarray(hysteresis_fused(
+        jnp.asarray(t_f), max_iters=mi, dilate_steps=ds, scan_after=sa))
+    wf = np.asarray(_hp_jit(
+        jnp.asarray(t_f), max_iters=mi, dilate_steps=ds, scan_after=sa))
+    if not np.array_equal(gf, wf):
+        failures.append(f"fused hysteresis mi={mi} n={(gf != wf).sum()}")
+
 # Hysteresis: dense random candidate field (worst-case propagation) and a
 # border-hugging snake seeded from one pixel.
 t = rng.choice([0, 128, 255], size=(200, 264), p=[0.3, 0.6, 0.1]).astype(np.uint8)
