@@ -638,6 +638,10 @@ def _feed_forward_multi(
         out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.uint8)] * len(out_stages),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Allow taller slabs than the 16 MB scoped default permits
+            # (v5e VMEM is physically larger; discovered via the fused
+            # hysteresis kernel's 4K working set).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

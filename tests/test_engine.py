@@ -180,3 +180,81 @@ class TestThresholdCacheByValue:
         e._low = 25
         lo3, _ = e._thresholds()
         assert int(lo3) == 25
+
+
+class TestResilientJit:
+    """The AOT fallback for the jax 0.9 fastpath dispatch bug
+    (engine._ResilientJit): on the specific "buffers but compiled program
+    expected" ValueError, the wrapper must permanently switch that argument
+    signature to an AOT-compiled executable; any other error propagates."""
+
+    class _FlakyJit:
+        """Mimics a jit object whose fastpath entry went inconsistent:
+        every __call__ raises the deployment's dispatch error, while
+        lower().compile() (the AOT route) keeps working."""
+
+        def __init__(self):
+            self.calls = 0
+            self.aot_compiles = 0
+
+        def __call__(self, *args):
+            self.calls += 1
+            raise ValueError(
+                "Execution supplied 3 buffers but compiled program "
+                "expected 4 buffers"
+            )
+
+        def lower(self, *args):
+            outer = self
+
+            class _Lowered:
+                def compile(self):
+                    outer.aot_compiles += 1
+                    return lambda *a: a[0] + a[1]
+
+            return _Lowered()
+
+    def test_fallback_switches_to_aot_and_sticks(self):
+        from cudacam_tpu.engine.engine import _ResilientJit
+        import jax.numpy as jnp
+
+        flaky = self._FlakyJit()
+        r = _ResilientJit(flaky)
+        a, b = jnp.int32(2), jnp.int32(3)
+        assert int(r(a, b)) == 5          # falls back, returns AOT result
+        assert flaky.aot_compiles == 1
+        assert int(r(a, b)) == 5          # cached AOT: no new compile,
+        assert flaky.aot_compiles == 1    # no retry through the bad path
+        assert flaky.calls == 1
+        # A different signature goes through the jit again (and falls
+        # back independently).
+        assert int(r(jnp.float32(1.5), jnp.float32(2.5))) == 4
+        assert flaky.aot_compiles == 2 and flaky.calls == 2
+
+    def test_unrelated_errors_propagate(self):
+        from cudacam_tpu.engine.engine import _ResilientJit
+
+        class _Broken:
+            def __call__(self, *args):
+                raise ValueError("something else entirely")
+
+        r = _ResilientJit(_Broken())
+        with pytest.raises(ValueError, match="something else"):
+            r(1)
+
+    def test_tracers_route_through_the_real_jit(self):
+        from cudacam_tpu.engine.engine import _ResilientJit
+        import jax
+        import jax.numpy as jnp
+
+        seen = []
+
+        def fn(x):
+            seen.append(type(x).__name__)
+            return x * 2
+
+        r = _ResilientJit(fn)
+        out = jax.jit(lambda x: r(x))(jnp.int32(4))
+        assert int(out) == 8
+        # Inside the outer trace the wrapper must not try AOT routes.
+        assert not r._aot
