@@ -116,6 +116,7 @@ class TestProfiling:
         assert engine.is_profiling_enabled()
         engine.set_profiling(False)
 
+    @pytest.mark.slow
     def test_profiled_batched(self, frame):
         e = CannyEngine(
             CannyConfig(height=48, width=64, backend="xla"),

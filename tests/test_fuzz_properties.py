@@ -57,6 +57,7 @@ def thresholds(draw):
 class TestPipelineInvariants:
     @FAST
     @given(frames(), thresholds())
+    @pytest.mark.slow
     def test_xla_matches_oracle_on_arbitrary_input(self, frame, th):
         lo, hi = th
         h, w = frame.shape[:2]

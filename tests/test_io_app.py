@@ -164,6 +164,7 @@ class TestApp:
         src = SyntheticSource(height=40, width=64, n_frames=100)
         return CannyApp(src, **kw)
 
+    @pytest.mark.slow
     def test_run_loop_and_ring(self):
         with self._app(ring_capacity=4) as app:
             n = app.run(6)
@@ -230,6 +231,7 @@ class TestApp:
             p = app.save_frame(str(tmp_path / "f.png"))
             assert p and os.path.exists(p)
 
+    @pytest.mark.slow
     def test_profiling_table(self):
         with self._app(profiling=True) as app:
             app.step()

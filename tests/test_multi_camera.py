@@ -84,6 +84,7 @@ class TestMultiCameraApp:
             p = app.preview(width=40, color=False, mode="split")
             assert len(p) > 0
 
+    @pytest.mark.slow
     def test_cli_multi_run(self, capsys, tmp_path):
         from cudacam_tpu.cli import main as cli_main
 

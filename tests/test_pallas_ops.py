@@ -242,6 +242,24 @@ for mi, ds, sa in ((100, 16, 10), (3, 4, 2)):
     if not np.array_equal(gf, wf):
         failures.append(f"fused hysteresis mi={mi} n={(gf != wf).sum()}")
 
+# Production-scale cap golden ON HARDWARE: the fused kernel's truncated
+# 1080p spiral output must match the committed digest the CPU/XLA loop
+# pins (tests/test_cap_golden.py) — the cross-backend cap contract at
+# the one scale where truncation actually bites.
+import hashlib
+from cudacam_tpu.io.sources import make_spiral_thresh
+from tests.test_cap_golden import (
+    SPIRAL_1080P_CAP100_SHA, SPIRAL_1080P_CAP100_FINALS,
+)
+
+sp = jax.device_put(jnp.asarray(make_spiral_thresh(1080, 1920)))
+out_sp = np.asarray(hysteresis_fused(
+    sp, max_iters=100, dilate_steps=16, scan_after=12))
+if hashlib.sha256(out_sp.tobytes()).hexdigest() != SPIRAL_1080P_CAP100_SHA:
+    failures.append(
+        f"spiral cap golden: finals={(out_sp == 255).sum()} "
+        f"(want {SPIRAL_1080P_CAP100_FINALS})")
+
 # Hysteresis: dense random candidate field (worst-case propagation) and a
 # border-hugging snake seeded from one pixel.
 t = rng.choice([0, 128, 255], size=(200, 264), p=[0.3, 0.6, 0.1]).astype(np.uint8)

@@ -20,6 +20,7 @@ class TestOpencvParityOracle:
         for t in (0, 1, 10, 40, 100, 255, 1000, 1443):
             np.testing.assert_array_equal(m > t * t, np.sqrt(m) > t)
 
+    @pytest.mark.slow
     def test_oracle_vs_xla_bit_exact(self):
         frame = make_scene(48, 64, seed=11)
         for norm in ("l2", "l1"):

@@ -15,6 +15,7 @@ from cudacam_tpu.ops import numpy_oracle as oracle
 
 
 class TestThresholdSweep:
+    @pytest.mark.slow
     def test_matches_per_pair_oracle(self):
         frame = make_scene(48, 64, seed=5)
         eng = CannyEngine(CannyConfig(height=48, width=64))
@@ -29,6 +30,7 @@ class TestThresholdSweep:
             np.testing.assert_array_equal(maps[i], ref)
             assert counts[i] == (ref == 255).sum()
 
+    @pytest.mark.slow
     def test_monotone_in_thresholds(self):
         # Higher thresholds can only reduce the edge count.
         frame = make_scene(40, 56, seed=6)
@@ -47,6 +49,7 @@ class TestThresholdSweep:
 
 
 class TestTrace:
+    @pytest.mark.slow
     def test_trace_writes_profile(self, tmp_path):
         eng = CannyEngine(CannyConfig(height=16, width=16))
         f = np.zeros((16, 16, 3), np.uint8)
@@ -63,6 +66,7 @@ class TestTrace:
 
 
 class TestCliSweep:
+    @pytest.mark.slow
     def test_cli_sweep_json(self, capsys):
         from cudacam_tpu.cli import main as cli_main
 

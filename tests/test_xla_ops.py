@@ -57,6 +57,7 @@ class TestStageEquivalence:
             )
             np.testing.assert_array_equal(got, oracle.double_threshold(nms, low, high))
 
+    @pytest.mark.slow
     def test_hysteresis_matches_bfs(self, rng):
         # Random candidate fields: while_loop fixed point == BFS reconstruction.
         for trial in range(5):
