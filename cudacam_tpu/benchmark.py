@@ -211,6 +211,21 @@ def full_table() -> None:
         dev, wall = _measure_ms_per_frame(run_batch, b, on_tpu)
         add(f"1080p batched x{b} ms/frame [{engb.backend}]", dev, wall)
 
+    # Threshold sweep (BASELINE.json config 3): K (low, high) pairs in one
+    # compiled program — on the pallas backend this runs the PRODUCTION
+    # kernels (one feed_forward_nmsq pass + K fused-hysteresis tails).
+    K = 16
+    lows_s = np.linspace(5, 60, K).astype(np.int32)
+    highs_s = np.linspace(20, 180, K).astype(np.int32)
+    eng_sw = CannyEngine(cfg)
+
+    def run_sweep():
+        jax.block_until_ready(eng_sw.threshold_sweep(frames[0], lows_s, highs_s))
+    run_sweep()
+    dev, wall = _measure_ms_per_frame(run_sweep, 1, on_tpu)
+    add(f"1080p threshold sweep K={K} [{eng_sw.backend}]", dev, wall,
+        "production kernels; cost ~ 1 FF pass + K hysteresis tails")
+
     # Worst-case hysteresis: a frame-long spiral candidate chain (the cap /
     # propagation stress; reference analog is its 100-relaunch belt).
     spiral = jax.device_put(jnp.asarray(make_spiral_thresh(h, w)))

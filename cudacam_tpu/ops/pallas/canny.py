@@ -24,12 +24,16 @@ Mirrors xla_ops.canny_to_stage's cumulative run-to-stage-k contract
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cudacam_tpu.config import CannyConfig
 from cudacam_tpu.ops import xla_ops
 from cudacam_tpu.ops.bitpack import hysteresis_packed
-from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+from cudacam_tpu.ops.pallas.feedforward import (
+    feed_forward_nmsq,
+    feed_forward_to_stage,
+)
 from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok, hysteresis_fused
 from cudacam_tpu.stages import CannyStage
 
@@ -104,6 +108,74 @@ def canny_to_stage_pallas(
     if final_stage == CannyStage.HYSTER:
         out = _hyster(out, cfg, interpret)
     return out
+
+
+def threshold_sweep_pallas(
+    frame: jnp.ndarray,
+    lows: jnp.ndarray,
+    highs: jnp.ndarray,
+    cfg: CannyConfig,
+    interpret: bool = False,
+):
+    """Threshold sweep on the PRODUCTION kernels (BASELINE.json config 3):
+    one fused feed-forward pass emits the threshold-independent state
+    (``keep * g``, feedforward.feed_forward_nmsq), then only the
+    data-dependent tail — a scalar-bound compare plus the fused
+    hysteresis — runs per (low, high) pair. Bit-identical to
+    xla_ops.threshold_sweep (same scalar-bound derivations, same
+    hysteresis schedule); the reference would need K full kernel-chain
+    relaunches (cannyEdgeH.cu:49-120).
+
+    Returns (maps, edge_counts): (K, H, W) uint8 and (K,) int32."""
+    import numpy as np
+
+    from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE
+
+    if _planar_ok(frame):
+        ff_in = jnp.transpose(frame, (2, 0, 1))
+    else:
+        ff_in = xla_ops.rgb2mono(frame)
+    kg = feed_forward_nmsq(
+        ff_in,
+        kernel_size=cfg.kernel_size,
+        grad_coeff=cfg.grad_coeff,
+        norm=cfg.norm,
+        interpret=interpret,
+    )
+
+    def thresh_map(lo, hi):
+        if cfg.parity == "reference":
+            # keep*g >= bound(t) == keep & (g >= bound): bound >= 1 always
+            # (xla_ops.threshold_magnitude_bound), and suppressed pixels
+            # hold kg == 0.
+            lo_b = xla_ops.threshold_magnitude_bound(lo, cfg.grad_coeff, cfg.norm)
+            hi_b = xla_ops.threshold_magnitude_bound(hi, cfg.grad_coeff, cfg.norm)
+            fin, cand = kg >= hi_b, kg >= lo_b
+        else:
+            # opencv parity: strict > against the (clamped, squared-for-l2)
+            # raw-magnitude thresholds; kg > 0 implies keep.
+            lo8 = jnp.clip(lo.astype(jnp.int32), 0, 2048)
+            hi8 = jnp.clip(hi.astype(jnp.int32), 0, 2048)
+            lo_c = lo8 * lo8 if cfg.norm == "l2" else lo8
+            hi_c = hi8 * hi8 if cfg.norm == "l2" else hi8
+            fin, cand = kg > hi_c, kg > lo_c
+        return jnp.where(
+            fin,
+            jnp.uint8(FINAL_EDGE),
+            jnp.where(cand, jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
+        )
+
+    def tail(pair):
+        lo, hi = pair
+        return _hyster(thresh_map(lo, hi), cfg, interpret)
+
+    # lax.map, not vmap: the fused hysteresis kernel's manual DMA grid
+    # doesn't vectorise (same reason the engine batches with lax.map).
+    maps = jax.lax.map(
+        tail, (jnp.asarray(lows, jnp.int32), jnp.asarray(highs, jnp.int32))
+    )
+    counts = (maps == np.uint8(FINAL_EDGE)).sum(axis=(1, 2)).astype(jnp.int32)
+    return maps, counts
 
 
 def canny_all_stages_pallas(

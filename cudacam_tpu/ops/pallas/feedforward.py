@@ -420,6 +420,18 @@ def _kernel_body(
     )
     keep = ((q <= g) & (r <= g)).astype(jnp.int32)
 
+    if "NMSQ" in out_stages:
+        # Threshold-independent sweep state: the NMS-masked comparable
+        # magnitude, emitted as RAW int32 (not a display buffer). Every
+        # (low, high) threshold map is a pure scalar-bound compare against
+        # this plane (xla_ops.compute_threshold_map's domains), which is
+        # what lets threshold_sweep run the production kernel ONCE and
+        # fan out only the data-dependent tail (ops/pallas/canny.py).
+        out_refs[out_stages.index("NMSQ")][:, :] = (keep * g)[
+            PAD_R : PAD_R + bh, PAD_C : PAD_C + width
+        ]
+        return
+
     if CannyStage.NMS in out_stages:  # guard: don't trace magnitude otherwise
         emit(CannyStage.NMS, keep * magnitude_i32())
     if last == CannyStage.NMS:
@@ -547,6 +559,38 @@ def feed_forward_all_stages(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "grad_coeff", "norm", "interpret", "block_h",
+        "image_size",
+    ),
+)
+def feed_forward_nmsq(
+    inp: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    interpret: bool = False,
+    block_h: Optional[int] = None,
+    origin=None,
+    image_size: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """The threshold-INDEPENDENT feed-forward state as one kernel pass:
+    the NMS-masked comparable magnitude ``keep * g`` (raw int32, not a
+    display buffer). Thresholding any (low, high) pair over this plane is
+    a pure scalar-bound compare in either parity domain
+    (xla_ops.compute_threshold_map / double_threshold_opencv), so a
+    threshold sweep runs the production kernel ONCE and fans out only the
+    tail (canny.threshold_sweep_pallas; reference analog would relaunch
+    its whole kernel chain per pair, cannyEdgeH.cu:49-120)."""
+    zero = jnp.zeros((), jnp.int32)  # thresholds unused on this path
+    return _feed_forward_multi(
+        inp, zero, zero, ("NMSQ",), kernel_size, grad_coeff, norm,
+        "reference", interpret, block_h, origin, image_size,
+    )[0]
+
+
 def _feed_forward_multi(
     inp: jnp.ndarray,
     low: jnp.ndarray,
@@ -582,7 +626,13 @@ def _feed_forward_multi(
     # Each extra emitted stage adds a pipelined uint8 output block (~1/4 of
     # an int32 slab, double-buffered): budget it as half a live slab. The
     # planar path's slab triples the u8 input buffer (3 channels): +1 live.
-    live = _LIVE_SLABS + (len(out_stages) - 1 + 1) // 2 + (1 if planar else 0)
+    # An int32 output block (NMSQ) is 4x a u8 one: +2 live.
+    live = (
+        _LIVE_SLABS
+        + (len(out_stages) - 1 + 1) // 2
+        + (1 if planar else 0)
+        + (2 if "NMSQ" in out_stages else 0)
+    )
     bh = block_h or _pick_block_h(h, sw * 4, live, PAD_R)
     n_blocks = pl.cdiv(h, bh)
     hp = n_blocks * bh
@@ -635,7 +685,12 @@ def _feed_forward_multi(
     outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((hp, w), jnp.uint8)] * len(out_stages),
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (hp, w), jnp.int32 if s == "NMSQ" else jnp.uint8
+            )
+            for s in out_stages
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # Allow taller slabs than the 16 MB scoped default permits
