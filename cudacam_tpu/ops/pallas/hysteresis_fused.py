@@ -72,14 +72,19 @@ def _geometry(h: int, w: int) -> Tuple[int, int, int, int]:
     return ch, n_chunks, hwp, wp
 
 
+def _pad_shape(h: int, w: int) -> Tuple[int, int]:
+    """DMA-granule-padded frame shape (zero padding is exact: pad cells
+    are NO_EDGE, which is absorbing — no candidates, no promotion)."""
+    return max(32, ((h + 7) // 8) * 8), ((w + 127) // 128) * 128
+
+
 def fused_ok(h: int, w: int) -> bool:
-    """True when the fused kernel applies: DMA-granule-aligned shape and a
-    packed working set that fits VMEM (~1080p..4K; 8K's 4.5 MB planes
-    would put a round's live set past the 16 MB scoped limit — those
-    sizes keep the XLA loop, whose mega-frame chunking already exists)."""
-    if h % 8 or w % 128 or h < 32:
-        return False
-    _, _, hwp, wp = _geometry(h, w)
+    """True when the fused kernel applies: a packed working set that fits
+    VMEM after granule padding (~1080p..4K; 8K's 4.5 MB planes would put
+    a round's live set past the limit — those sizes keep the XLA loop,
+    whose mega-frame chunking already exists)."""
+    hp, wp_frame = _pad_shape(h, w)
+    _, _, hwp, wp = _geometry(hp, wp_frame)
     return hwp * wp * 4 <= _PLANE_BUDGET
 
 
@@ -156,6 +161,8 @@ def _kernel(
     scan_after: int,
     max_iters: int,
     carry_every: int,
+    log_h: int,
+    log_w: int,
 ):
     i = pl.program_id(0)
     kw = ch // 32  # word-rows per chunk
@@ -205,8 +212,12 @@ def _kernel(
             ).astype(jnp.uint32)
 
         # ---- both convergence phases: bitpack's schedule on VMEM state --
+        # Schedule extents are the LOGICAL frame dims: the scans'
+        # doubling-step sequences must match bitpack's on the unpadded
+        # frame exactly, or round counts (and cap-truncated outputs)
+        # would diverge across backends when the caller granule-padded.
         dilates, scans = bitpack._make_ops(
-            h, w, dilate_steps, carry_every=carry_every,
+            log_h, log_w, dilate_steps, carry_every=carry_every,
             shifts=_make_pl_shifts(hwp, wp),
         )
         p = p_ref[:, :]
@@ -256,6 +267,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "max_iters", "dilate_steps", "scan_after", "carry_every", "interpret",
+        "log_h", "log_w",
     ),
 )
 def _fused_call(
@@ -265,6 +277,8 @@ def _fused_call(
     scan_after: int,
     carry_every: int,
     interpret: bool,
+    log_h: int,
+    log_w: int,
 ):
     h, w = thresh.shape
     ch, n_chunks, hwp, wp = _geometry(h, w)
@@ -273,6 +287,7 @@ def _fused_call(
         h=h, w=w, ch=ch, n_chunks=n_chunks, hwp=hwp, wp=wp,
         dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
+        log_h=log_h, log_w=log_w,
     )
     out, flags = pl.pallas_call(
         kern,
@@ -308,21 +323,38 @@ def _fused_call(
 def hysteresis_fused(
     thresh: jnp.ndarray,
     max_iters: int = 100,
+    remove_candidates: bool = True,
     return_iters: bool = False,
     dilate_steps: int = 16,
     scan_after: int = 10,
     interpret: bool = False,
 ):
-    """Drop-in for ``bitpack.hysteresis_packed(..., remove_candidates=True)``
-    on the Pallas backend: same arguments, bit-identical output (including
-    under cap truncation — shared round schedule), at a fraction of the
-    device time (1080p scene: 109 -> ~70 us). Callers must check
-    :func:`fused_ok` first (ops/pallas/canny.py falls back to the XLA loop
-    otherwise)."""
-    out, flags = _fused_call(
-        thresh, max_iters, dilate_steps, scan_after,
-        bitpack._CARRY_EVERY, interpret,
+    """Drop-in for ``bitpack.hysteresis_packed`` on the Pallas backend:
+    same arguments, bit-identical output (including under cap truncation —
+    shared round schedule with logical-extent step sequences), at a
+    fraction of the device time (1080p scene: 109 -> ~70 us).
+
+    Any frame shape within :func:`fused_ok`'s VMEM budget works:
+    off-granule shapes are zero-padded to the DMA granules (exact — pad
+    cells are absorbing NO_EDGE) and sliced back, which is what lets the
+    sharded pipeline's halo-extended tiles run through this kernel
+    (parallel/sharded.fused_local_saturate). ``remove_candidates=False``
+    (the sharded round loop's contract: candidates survive for the next
+    exchange) is one elementwise blend after the kernel."""
+    h, w = thresh.shape
+    hp, wp = _pad_shape(h, w)
+    t_in = (
+        thresh if (hp, wp) == (h, w)
+        else jnp.pad(thresh, ((0, hp - h), (0, wp - w)))
     )
+    out, flags = _fused_call(
+        t_in, max_iters, dilate_steps, scan_after,
+        bitpack._CARRY_EVERY, interpret, h, w,
+    )
+    if (hp, wp) != (h, w):
+        out = out[:h, :w]
+    if not remove_candidates:
+        out = jnp.where(out == np.uint8(FINAL_EDGE), out, thresh)
     if return_iters:
         return out, flags[0, 0]
     return out

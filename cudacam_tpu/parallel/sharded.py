@@ -94,6 +94,26 @@ def default_local_saturate(cfg: CannyConfig) -> Callable:
     return saturate
 
 
+def fused_local_saturate(cfg: CannyConfig) -> Callable:
+    """Local-saturation operator backed by the fused Pallas hysteresis
+    kernel (ops/pallas/hysteresis_fused.py) — the pallas backend's default.
+    The kernel pads halo-extended tiles to its DMA granules internally and
+    runs the SAME round schedule as the packed loop, so swapping operators
+    never changes the converged result (and matches truncation too)."""
+    from cudacam_tpu.ops.pallas.hysteresis_fused import hysteresis_fused
+
+    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
+        return hysteresis_fused(
+            t_ext,
+            max_iters=cfg.max_hysteresis_iters,
+            remove_candidates=False,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+        )
+
+    return saturate
+
+
 def sweep_kernel_local_saturate(cfg: CannyConfig) -> Callable:
     """Alternative saturation operator: the Pallas sequential-sweep kernel
     (ops/pallas/hysteresis.py; real TPU only). Injectable via
@@ -154,7 +174,19 @@ def build_sharded_pipeline(
     # A shard can only export state it owns: cap the exchange halo at the
     # local tile size (propagation speed across shards is hh px per round).
     hh = max(1, min(hh, h_loc, w_loc))
-    saturate = local_saturate if local_saturate is not None else default_local_saturate(cfg)
+    if local_saturate is not None:
+        saturate = local_saturate
+    elif backend == "pallas":
+        from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok
+
+        ext_h, ext_w = h_loc + 2 * hh, w_loc + 2 * hh
+        saturate = (
+            fused_local_saturate(cfg)
+            if fused_ok(ext_h, ext_w)
+            else default_local_saturate(cfg)
+        )
+    else:
+        saturate = default_local_saturate(cfg)
 
     has_c = cfg.channels == 3
     frame_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS, None) if has_c else P(BATCH_AXIS, ROW_AXIS, COL_AXIS)

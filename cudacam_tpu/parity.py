@@ -97,6 +97,35 @@ def compare_frame(
     return _structural_scores(ours, cv)
 
 
+def pan_zoom_frames(
+    base: np.ndarray, n_frames: int = 12, height: int = 288, width: int = 512
+) -> List[np.ndarray]:
+    """A deterministic 'recorded webcam sequence' derived from one still:
+    a slow pan across the image with a zoom-in/out cycle (what a camera on
+    a scene produces, minus sensor noise — BASELINE asks parity to hold on
+    recorded sequences, not single stills). Committing one base PNG plus
+    this schedule reproduces the exact sequence everywhere without
+    committing every frame."""
+    import cv2
+
+    h0, w0 = base.shape[:2]
+    frames: List[np.ndarray] = []
+    for i in range(n_frames):
+        t = i / max(1, n_frames - 1)
+        # Zoom 1.0 -> 1.6 -> 1.0; pan left-to-right, top-to-bottom.
+        zoom = 1.0 + 0.6 * (1.0 - abs(2.0 * t - 1.0))
+        ch, cw = int(h0 / zoom), int(w0 / zoom)
+        ch -= ch % 2
+        cw -= cw % 2
+        y0 = int((h0 - ch) * t)
+        x0 = int((w0 - cw) * t)
+        crop = base[y0 : y0 + ch, x0 : x0 + cw]
+        frames.append(
+            cv2.resize(crop, (width, height), interpolation=cv2.INTER_AREA)
+        )
+    return frames
+
+
 def parity_report(
     n_frames: int = 5,
     height: int = 540,

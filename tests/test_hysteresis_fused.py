@@ -35,9 +35,12 @@ class TestGeometry:
         assert fused_ok(720, 1280)    # 720p
         assert fused_ok(2160, 3840)   # 4K
         assert not fused_ok(4320, 7680)  # 8K: packed planes past budget
-        assert not fused_ok(1079, 1920)  # off the 8-row DMA granule
-        assert not fused_ok(1080, 1921)  # off the 128-lane granule
-        assert not fused_ok(24, 128)     # below one packed word-row
+        # Off-granule and tiny shapes qualify via internal zero padding
+        # (exact: pad cells are absorbing NO_EDGE) — what lets the sharded
+        # path's halo-extended tiles use the kernel.
+        assert fused_ok(1079, 1921)
+        assert fused_ok(1112, 1952)   # 1080p tile + 16 px halo ring
+        assert fused_ok(24, 100)
 
     def test_geometry_invariants(self):
         for h, w in [(32, 128), (320, 256), (1080, 1920), (2160, 3840)]:

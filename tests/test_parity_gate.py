@@ -53,3 +53,45 @@ def test_alternate_thresholds_hold():
     s = compare_frame(frame, low=30, high=90)
     assert s["ours_within_1px_of_cv2"] >= 0.93, s
     assert s["cv2_within_1px_of_ours"] >= 0.97, s
+
+
+# --- sequence gate (round-2 verdict #7) ------------------------------------
+# BASELINE asks parity "on recorded webcam sequences": a deterministic
+# pan/zoom sequence derived from the committed base still (the reference
+# repo's own sample photo, re-encoded) x a grid of threshold pairs, every
+# (frame, pair) enforced per-direction (fast enough for the default
+# suite: ~6 s for all 36 comparisons).
+
+_BASE = os.path.join(_DATA, "ytbase.png")
+_PAIR_GRID = [(10, 40), (20, 60), (30, 90)]
+# Floors per pair, a little under the worst frame measured at gate
+# creation — (10,40): 0.979/0.999/0.952; (20,60): 0.977/0.990/0.940;
+# (30,90): 0.866/0.989/0.831 (high thresholds on the deepest-zoom blurry
+# crops keep very few edges, so percentage agreement gets grainy there).
+_SEQ_MIN = {
+    (10, 40): (0.95, 0.98, 0.92),
+    (20, 60): (0.95, 0.97, 0.91),
+    (30, 90): (0.84, 0.97, 0.80),
+}
+
+
+@pytest.mark.parametrize("pair", _PAIR_GRID, ids=lambda p: f"lo{p[0]}hi{p[1]}")
+def test_sequence_parity_gate(pair):
+    from cudacam_tpu.parity import pan_zoom_frames
+
+    base = cv2.imread(_BASE)
+    assert base is not None and base.shape == (576, 1024, 3)
+    frames = pan_zoom_frames(base, n_frames=12)
+    lo, hi = pair
+    worst = None
+    for i, f in enumerate(frames):
+        s = compare_frame(f, low=lo, high=hi)
+        key = (s["ours_within_1px_of_cv2"], s["cv2_within_1px_of_ours"],
+               s["exact_iou"])
+        if worst is None or key < worst[0]:
+            worst = (key, i, s)
+    (ours_near, cv_near, iou), idx, s = worst
+    min_ours, min_cv, min_iou = _SEQ_MIN[pair]
+    assert ours_near >= min_ours, (idx, s)
+    assert cv_near >= min_cv, (idx, s)
+    assert iou >= min_iou, (idx, s)

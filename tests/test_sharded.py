@@ -192,6 +192,24 @@ class TestInjectableSaturate:
 
         self._run_with(full_local, hh=8)
 
+    @pytest.mark.slow
+    def test_fused_kernel_operator_interpret(self):
+        # The pallas backend's DEFAULT saturate (the fused hysteresis
+        # kernel, granule-padding halo-extended tiles internally) run in
+        # interpret mode on the virtual mesh: the exact operator + round
+        # loop composition a real pod executes.
+        from cudacam_tpu.ops.pallas.hysteresis_fused import hysteresis_fused
+
+        def fused_interp(cfg):
+            return lambda t_ext: hysteresis_fused(
+                t_ext, max_iters=cfg.max_hysteresis_iters,
+                remove_candidates=False,
+                dilate_steps=cfg.hysteresis_inner_steps,
+                scan_after=cfg.hysteresis_scan_after, interpret=True,
+            )
+
+        self._run_with(fused_interp, hh=8)
+
     def test_small_halo(self):
         from cudacam_tpu.parallel.sharded import default_local_saturate
 
