@@ -35,6 +35,7 @@ from cudacam_tpu.ops.pallas.feedforward import (
     feed_forward_to_stage,
 )
 from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok, hysteresis_fused
+from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline, mega_ok
 from cudacam_tpu.stages import CannyStage
 
 
@@ -84,6 +85,29 @@ def canny_to_stage_pallas(
     final_stage = CannyStage(final_stage)
     if final_stage == CannyStage.MONO:
         return xla_ops.rgb2mono(frame)
+    if (
+        final_stage == CannyStage.HYSTER
+        and _planar_ok(frame)
+        and mega_ok(frame.shape[0], frame.shape[1])
+    ):
+        # The full-run hot path: raw BGR -> edge map in ONE kernel launch
+        # (ops/pallas/megakernel.py) — HBM touched twice per frame. The
+        # rare still-growing-at-phase-boundary frame re-runs the two-kernel
+        # path below via the pipeline's lax.cond, bit-identically (1080p
+        # scene: 161 -> 130 us device time, tools/mega_probe.py).
+        return canny_mega_pipeline(
+            jnp.transpose(frame, (2, 0, 1)),
+            low,
+            high,
+            kernel_size=cfg.kernel_size,
+            grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm,
+            parity=cfg.parity,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters,
+            interpret=interpret,
+        )
     ff_stage = (
         final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
     )

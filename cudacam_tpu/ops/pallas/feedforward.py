@@ -327,13 +327,41 @@ def _kernel_body(
         i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
     )
 
-    last = out_stages[-1]
-
-    def emit(stage: CannyStage, x_i32: jnp.ndarray) -> None:
+    def emit(stage, x_i32: jnp.ndarray) -> None:
         if stage in out_stages:
-            out_refs[out_stages.index(stage)][:, :] = x_i32[
-                PAD_R : PAD_R + bh, PAD_C : PAD_C + width
-            ].astype(jnp.uint8)
+            core = x_i32[PAD_R : PAD_R + bh, PAD_C : PAD_C + width]
+            out_refs[out_stages.index(stage)][:, :] = (
+                core if stage == "NMSQ" else core.astype(jnp.uint8)
+            )
+
+    _stage_chain(
+        mono, valid, lo_ref[0], hi_ref[0],
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, out_stages=out_stages, emit=emit,
+    )
+
+
+def _stage_chain(
+    mono: jnp.ndarray,
+    valid: jnp.ndarray,
+    lo,
+    hi,
+    *,
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    out_stages: Tuple,
+    emit,
+):
+    """The fused gaussian->sobel->NMS->threshold chain on one slab-shaped
+    i32 mono plane. ``emit(stage, x_i32)`` is called for each stage in
+    ``out_stages`` (pipeline-ordered; "NMSQ" = raw keep*g int32); the
+    chain stops after the last requested stage. Returns the THRESH i32
+    slab when the chain runs that far (the megakernel packs it straight
+    from VMEM, ops/pallas/megakernel.py), else None. Shared by every
+    Pallas pipeline kernel so the stage math exists exactly once."""
+    last = out_stages[-1]
 
     # --- 2/6 Gaussian (cannyEdgeD.cu:72-118), exact floor-div by tap sum ---
     ksum = gaussian_kernel_sum(kernel_size)
@@ -344,7 +372,7 @@ def _kernel_body(
 
     emit(CannyStage.GAUSSIAN, blur)
     if last == CannyStage.GAUSSIAN:
-        return
+        return None
 
     # --- 3/6 Sobel (cannyEdgeD.cu:121-172), separable integer stencils -----
     # X = [1,2,1]^T x [-1,0,1]; Y = [1,2,1] smoothing x top-minus-bottom.
@@ -389,7 +417,7 @@ def _kernel_body(
     if CannyStage.GRADIENT in out_stages:
         emit(CannyStage.GRADIENT, magnitude_i32())
     if last == CannyStage.GRADIENT:
-        return
+        return None
 
     # --- 4/6 NMS (cannyEdgeD.cu:201-270): Q15 sector bins, ties kept -------
     # g is masked (zero outside the image) because its *rolled* values are
@@ -427,19 +455,15 @@ def _kernel_body(
         # this plane (xla_ops.compute_threshold_map's domains), which is
         # what lets threshold_sweep run the production kernel ONCE and
         # fan out only the data-dependent tail (ops/pallas/canny.py).
-        out_refs[out_stages.index("NMSQ")][:, :] = (keep * g)[
-            PAD_R : PAD_R + bh, PAD_C : PAD_C + width
-        ]
-        return
+        emit("NMSQ", keep * g)
+        return None
 
     if CannyStage.NMS in out_stages:  # guard: don't trace magnitude otherwise
         emit(CannyStage.NMS, keep * magnitude_i32())
     if last == CannyStage.NMS:
-        return
+        return None
 
     # --- 5/6 double threshold (cannyEdgeD.cu:273-293), strict inequalities -
-    lo = lo_ref[0]
-    hi = hi_ref[0]
     if parity == "reference":
         # Threshold the reference's uint8 magnitude domain — evaluated on
         # the comparable magnitude g via exact scalar bounds, so no
@@ -470,6 +494,7 @@ def _kernel_body(
         jnp.where(nms > lo_c, jnp.int32(CANDIDATE_EDGE), jnp.int32(NO_EDGE)),
     )
     emit(CannyStage.THRESH, out)
+    return out
 
 
 @functools.partial(

@@ -1,0 +1,433 @@
+"""The whole Canny pipeline as ONE Pallas kernel launch.
+
+Composition of the two fused kernels this framework already ships —
+feed-forward (feedforward.py) and hysteresis (hysteresis_fused.py) —
+with the intermediate threshold map never leaving VMEM:
+
+* grid steps run the feed-forward chain per row slab (raw planar BGR in,
+  the SAME ``_stage_chain`` both kernels share) and bit-pack each slab's
+  threshold values straight out of the slab registers into the packed
+  hysteresis planes (persistent VMEM scratch) — the (H, W) uint8
+  threshold map that used to be written to and re-read from HBM between
+  the two kernels simply never exists;
+* the last grid step runs the PHASE-1 dilation rounds of the shared
+  ``bitpack._make_ops`` schedule (with hysteresis_fused's guard-ring
+  roll shifts) and streams the unpacked edge map out through a
+  double-buffered manual DMA.
+
+Phase 2 (the 8-direction carry-lookahead scans) is deliberately NOT in
+this kernel: measured on hardware, the mere *presence* of the scan code
+costs ~100 us of base time at 1080p (instruction-footprint interference
+— a max_iters=3 variant whose phase-2 loop could never run still paid
+it; tools/mega_probe.py). Scenes that are still growing after
+``scan_after`` phase-1 rounds are rare (long monotone runs; natural
+scenes converge in a handful of rounds), so :func:`canny_mega_pipeline`
+handles them with a ``lax.cond`` fallback that re-runs the two-kernel
+path from the raw frame. That is bit-exact by the shared-schedule
+argument everywhere else in this codebase: phase-1 rounds are
+deterministic, so the re-run walks the identical trajectory this kernel
+just walked and then continues into phase 2 — the same round count and
+cap truncation as ``bitpack.hysteresis_packed`` (docs/parity.md).
+
+Per frame, HBM is touched exactly TWICE in the common case: one read of
+the raw frame, one write of the edge map. The reference touches it ~14
+times (a round trip per kernel, cannyEdgeD.cu, plus the relaunch loop's
+flag traffic, cannyEdgeH.cu:297-338).
+
+Applicability (:func:`mega_ok`): planar-eligible shapes (h % 8 == 0,
+w % 128 == 0 — every production size) whose packed planes fit the
+hysteresis VMEM budget. Other shapes use the two-kernel path
+(ops/pallas/canny.py) — identical results either way.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cudacam_tpu.ops import bitpack
+from cudacam_tpu.ops.pallas import feedforward as ff
+from cudacam_tpu.ops.pallas import hysteresis_fused as hfz
+from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, CannyStage
+
+
+def _pick_bh(h: int, w: int) -> int:
+    """Slab height for the megakernel: a 32-multiple (each slab packs
+    whole words; the packed stores are statically predicated per block,
+    so no 8-word alignment constraint — v1 needed bh=256 for its dynamic
+    sublane offsets). Minimise total DMA'd rows = padding past h plus
+    the 2*PAD_R halo rows each slab re-reads; tie-break smaller (smaller
+    live working set). Cap so ~8 live slab-sized i32 arrays stay within
+    the raised 64 MB scoped-VMEM budget with margin."""
+    sw = ff._slab_w(w)
+    cap = 256
+    while cap > 32 and (cap + 2 * ff.PAD_R) * sw * 4 * 8 > 40_000_000:
+        cap -= 32
+    best, best_cost = 32, None
+    for bh in range(32, cap + 1, 32):
+        n = -(-h // bh)
+        cost = n * (bh + 2 * ff.PAD_R) - h
+        if best_cost is None or cost < best_cost:
+            best, best_cost = bh, cost
+    return best
+
+
+def _mega_geometry(h: int, w: int) -> Optional[Tuple[int, int, int, int]]:
+    """(bh, n_blocks, hwp, wp) or None when the megakernel doesn't apply."""
+    if h % 8 or w % 128:
+        return None
+    bh = 32 if h <= 32 else _pick_bh(h, w)
+    n_blocks = -(-h // bh)
+    # A trailing partial slab is fine: the slab core always spans bh
+    # (32-multiple) rows, and rows past the image are valid-masked to
+    # exact NO_EDGE, so whole-core packs stay on word boundaries.
+    hwp = n_blocks * (bh // 32) + 1  # +1 guard word-row (roll wrap)
+    wp = w + hfz._GUARD_LANES
+    if hwp * wp * 4 > hfz._PLANE_BUDGET:
+        return None
+    return bh, n_blocks, hwp, wp
+
+
+def mega_ok(h: int, w: int) -> bool:
+    return _mega_geometry(h, w) is not None
+
+
+def _kernel(
+    lo_ref,
+    hi_ref,
+    frame_hbm,
+    out_hbm,
+    flags_ref,
+    slab,
+    f_ref,
+    p_ref,
+    outbuf,
+    sems,
+    osems,
+    *,
+    bh: int,
+    n_blocks: int,
+    hwp: int,
+    wp: int,
+    h: int,
+    w: int,
+    sw: int,
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+):
+    i = pl.program_id(0)
+    slab_h = bh + 2 * ff.PAD_R
+    kw = bh // 32
+    last = n_blocks - 1
+    n_last = h - last * bh + ff.PAD_R  # input rows for the last slab
+
+    # ---- raw planar BGR slab DMA (feedforward.py's planar path) ---------
+    def _dma(block_idx, src0, dst0, n, slot):
+        return pltpu.make_async_copy(
+            frame_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
+            slab.at[slot, :, pl.ds(dst0, n), pl.ds(ff.PAD_C, w)],
+            sems.at[slot],
+        )
+
+    def _each_branch(block_idx, slot, act):
+        if n_blocks == 1:
+            act(_dma(block_idx, 0, ff.PAD_R, h, slot))
+            return
+
+        @pl.when(block_idx == 0)
+        def _():
+            act(_dma(block_idx, 0, ff.PAD_R, bh + ff.PAD_R, slot))
+
+        @pl.when((block_idx > 0) & (block_idx < last))
+        def _():
+            act(_dma(block_idx, block_idx * bh - ff.PAD_R, 0, slab_h, slot))
+
+        @pl.when(block_idx == last)
+        def _():
+            act(_dma(block_idx, last * bh - ff.PAD_R, 0, n_last, slot))
+
+    @pl.when(i == 0)
+    def _():
+        _each_branch(0, 0, lambda d: d.start())
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        _each_branch(i + 1, (i + 1) % 2, lambda d: d.start())
+
+    _each_branch(i, i % 2, lambda d: d.wait())
+
+    # Zero the slab ring the clamped DMA leaves unfilled (same scheme and
+    # reasoning as feedforward._kernel_body's planar path).
+    slot = i % 2
+    fill_last = (h + ff.PAD_R) if n_blocks == 1 else n_last
+
+    @pl.when(i <= min(1, n_blocks - 1))
+    def _():
+        slab[slot, :, :, : ff.PAD_C] = jnp.zeros(
+            (3, slab_h, ff.PAD_C), jnp.uint8
+        )
+        slab[slot, :, :, ff.PAD_C + w :] = jnp.zeros(
+            (3, slab_h, sw - ff.PAD_C - w), jnp.uint8
+        )
+
+    @pl.when(i == 0)
+    def _():
+        slab[slot, :, : ff.PAD_R, ff.PAD_C :] = jnp.zeros(
+            (3, ff.PAD_R, sw - ff.PAD_C), jnp.uint8
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        slab[slot, :, fill_last:, ff.PAD_C :] = jnp.zeros(
+            (3, slab_h - fill_last, sw - ff.PAD_C), jnp.uint8
+        )
+
+    # ---- feed-forward chain to THRESH on the slab (shared stage math) ----
+    from cudacam_tpu.ops.numpy_oracle import B_WT, G_WT, R_WT
+
+    mono = (
+        slab[slot, 0].astype(jnp.int32) * B_WT
+        + slab[slot, 1].astype(jnp.int32) * G_WT
+        + slab[slot, 2].astype(jnp.int32) * R_WT
+    ) >> 6
+    valid = ff._valid_mask_i32(
+        i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
+    )
+    thresh = ff._stage_chain(
+        mono, valid, lo_ref[0], hi_ref[0],
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, out_stages=(CannyStage.THRESH,),
+        emit=lambda stage, x: None,
+    )
+
+    # ---- pack this slab's threshold words straight into the planes ------
+    # thresh is the i32 slab; its core is [PAD_R, PAD_R+bh) x [PAD_C, ..).
+    # Everywhere outside the image — the last slab's rows past h AND the
+    # guard lanes [w, wp) — thresh is exact NO_EDGE already (g carries the
+    # valid mask, so nms=0 and the strict > comparisons yield 0), so
+    # whole-core packs land zeros in every pad/guard position for free.
+    # sw - PAD_C == w + 128 == wp exactly when w % 128 == 0 (mega_ok).
+    core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    fw = jnp.sum(
+        (core == FINAL_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
+        axis=1, dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    pw = jnp.sum(
+        (core == CANDIDATE_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
+        axis=1, dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    # Statically predicated stores: Mosaic requires DYNAMIC sublane store
+    # offsets to be provably 8-aligned (which would force kw % 8 == 0, i.e.
+    # 256-row slabs and their padding waste) — a per-block pl.when with a
+    # Python-int offset has no such constraint.
+    for j in range(n_blocks):
+
+        @pl.when(i == j)
+        def _(j=j):
+            f_ref[j * kw : (j + 1) * kw, :] = fw
+            p_ref[j * kw : (j + 1) * kw, :] = pw
+
+    # ---- last step: phase-1 convergence + stream the edge map out --------
+    @pl.when(i == n_blocks - 1)
+    def _():
+        f_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+        p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+
+        # Schedule extents are the LOGICAL frame dims (hysteresis_fused's
+        # log_h/log_w argument), so cadence matches every other backend.
+        dilates, _ = bitpack._make_ops(
+            h, w, dilate_steps, carry_every=carry_every,
+            shifts=hfz._make_pl_shifts(hwp, wp),
+        )
+        p = p_ref[:, :]
+
+        def round1(carry):
+            it, _ = carry
+            f = f_ref[:, :]
+            nf = dilates(f, p)
+            f_ref[:, :] = nf
+            return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+        # Identical counting to bitpack.hysteresis_packed's phase 1: one
+        # unconditional round (the reference always launches once before
+        # reading its flag, cannyEdgeH.cu:313), then rounds while growing,
+        # to min(scan_after, max_iters). flags[0,1] == 1 on exit means the
+        # frame needs phase 2 — the caller's cond re-runs the two-kernel
+        # path (module docstring).
+        cap1 = min(scan_after, max_iters)
+        it, changed = round1((jnp.int32(0), jnp.int32(0)))
+        it, changed = jax.lax.while_loop(
+            lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+        )
+        flags_ref[0, 0] = it
+        flags_ref[0, 1] = changed
+
+        # Unpack + manual DMA out, double buffered per word-chunk (the
+        # pipelined out-spec path can't work here: every output block
+        # depends on the converged global state).
+        io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
+        ch_rows = outbuf.shape[1]
+        ckw = ch_rows // 32
+        n_out = -(-h // ch_rows)
+
+        def out_dma(j):
+            n_rows = min(ch_rows, h - j * ch_rows)
+            return pltpu.make_async_copy(
+                outbuf.at[j % 2, pl.ds(0, n_rows), :],
+                out_hbm.at[pl.ds(j * ch_rows, n_rows), :],
+                osems.at[j % 2],
+            )
+
+        for j in range(n_out):
+            if j >= 2:  # this slot's previous DMA must land first
+                out_dma(j - 2).wait()
+            for k in range(ckw):
+                if j * ckw + k >= n_blocks * kw:
+                    break  # tiny frame: chunk reaches past the state
+                word = f_ref[pl.ds(j * ckw + k, 1), pl.ds(0, w)]
+                bits = (jnp.broadcast_to(word, (32, w)) >> io32) & jnp.uint32(1)
+                outbuf[j % 2, k * 32 : (k + 1) * 32, :] = (
+                    bits * jnp.uint32(FINAL_EDGE)
+                ).astype(jnp.uint8)
+            out_dma(j).start()
+        for j in range(max(0, n_out - 2), n_out):  # drain the tail
+            out_dma(j).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "grad_coeff", "norm", "parity",
+        "dilate_steps", "scan_after", "max_iters", "carry_every",
+        "block_h", "interpret",
+    ),
+)
+def canny_mega(
+    frame_planar: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    carry_every: int = bitpack._CARRY_EVERY,
+    block_h: Optional[int] = None,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(edge_map (H, W) u8, flags (1, 2) i32) for a (3, H, W) planar BGR
+    frame — MONO through phase-1 hysteresis in one kernel launch. Callers
+    check :func:`mega_ok` first and MUST handle flags[0, 1] == 1 (still
+    growing at the phase boundary: the edge map is not converged — see
+    :func:`canny_mega_pipeline`, the composition users run). ``block_h``
+    overrides the slab height for probing (tools/mega_probe.py)."""
+    _, h, w = frame_planar.shape
+    geo = _mega_geometry(h, w)
+    assert geo is not None, "caller must check mega_ok()"
+    bh, n_blocks, hwp, wp = geo
+    if block_h is not None:
+        assert block_h % 32 == 0
+        bh = block_h
+        n_blocks = -(-h // bh)
+        hwp = n_blocks * (bh // 32) + 1
+    sw = ff._slab_w(w)
+    ch_rows = 128
+    kern = functools.partial(
+        _kernel,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w, sw=sw,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # low, high
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, bh + 2 * ff.PAD_R, sw), jnp.uint8),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((2, ch_rows, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, flags = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,  # the output leaves via manual DMA
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(low, jnp.int32).reshape(1),
+        jnp.asarray(high, jnp.int32).reshape(1),
+        frame_planar,
+    )
+    return out, flags
+
+
+def canny_mega_pipeline(
+    frame_planar: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The production single-launch pipeline: :func:`canny_mega` plus the
+    rare-frame phase-2 fallback. Bit-identical to the two-kernel path for
+    every input (shared round schedule + deterministic phase-1 re-run;
+    module docstring)."""
+    edge, flags = canny_mega(
+        frame_planar, low, high,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, interpret=interpret,
+    )
+    if scan_after >= max_iters:
+        return edge  # phase 2 statically unreachable: the cap IS phase 1
+
+    def _fallback(frame):
+        thresh = ff.feed_forward_to_stage(
+            frame, low, high,
+            kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+            parity=parity, out_stage=CannyStage.THRESH, interpret=interpret,
+        )
+        return hfz.hysteresis_fused(
+            thresh, max_iters=max_iters, dilate_steps=dilate_steps,
+            scan_after=scan_after, interpret=interpret,
+        )
+
+    return jax.lax.cond(
+        flags[0, 1] == 1, _fallback, lambda _: edge, frame_planar
+    )

@@ -1,0 +1,130 @@
+"""Megakernel (single-launch whole pipeline, ops/pallas/megakernel.py).
+
+Two tiers, like test_pallas_ops: always-run geometry/gate properties, and
+slow-marked interpret-mode bit-exactness pins covering both sides of the
+phase-2 lax.cond (the TPU subprocess test in test_pallas_ops.py covers the
+production dispatch on hardware at 1080p-class geometry).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cudacam_tpu.ops.pallas.megakernel import _mega_geometry, _pick_bh, mega_ok
+
+
+class TestMegaGeometry:
+    @pytest.mark.parametrize(
+        "h,w", [(64, 256), (480, 640), (720, 1280), (1080, 1920), (2160, 3840)]
+    )
+    def test_production_shapes_qualify(self, h, w):
+        geo = _mega_geometry(h, w)
+        assert geo is not None
+        bh, n_blocks, hwp, wp = geo
+        assert bh % 32 == 0  # whole packed words per slab
+        assert n_blocks * bh >= h
+        assert hwp == n_blocks * (bh // 32) + 1  # +1 guard word-row
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            _GUARD_LANES,
+            _PLANE_BUDGET,
+        )
+
+        assert wp == w + _GUARD_LANES
+        assert hwp * wp * 4 <= _PLANE_BUDGET
+
+    def test_off_granule_and_oversize_rejected(self):
+        assert not mega_ok(1079, 1920)  # h % 8
+        assert not mega_ok(1080, 1921)  # w % 128
+        assert not mega_ok(4320, 7680)  # 8K packed planes exceed VMEM budget
+
+    def test_pick_bh_minimises_dma_rows(self):
+        # At 1080p the chooser must beat v1's forced 256-row slabs: 5 slabs
+        # of 224 rows DMA 1200 rows total vs 5x272 = 1360.
+        assert _pick_bh(1080, 1920) == 224
+
+    @pytest.mark.parametrize("h", [32, 40, 64, 720, 1080, 2160])
+    def test_pick_bh_always_valid(self, h):
+        bh = _pick_bh(h, 1920)
+        assert bh % 32 == 0 and 32 <= bh <= 256
+
+
+@pytest.mark.slow
+class TestMegaExactness:
+    """Interpret-mode pins at a multi-block geometry (forced bh=32: the
+    statically-predicated per-block packs, the partial last slab, and both
+    convergence outcomes all execute)."""
+
+    def _case(self, scan_after):
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import (
+            canny_mega,
+            canny_mega_pipeline,
+        )
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256  # 3 blocks at bh=32; last slab partial (16 rows)
+        cfg = CannyConfig(height=h, width=w, hysteresis_scan_after=scan_after)
+        frame = jnp.asarray(make_scene(h, w, seed=5))
+        planar = jnp.transpose(frame, (2, 0, 1))
+        lo, hi = np.int32(10), np.int32(40)
+        kw = dict(
+            kernel_size=cfg.kernel_size, grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm, parity=cfg.parity,
+            dilate_steps=cfg.hysteresis_inner_steps, scan_after=scan_after,
+            max_iters=cfg.max_hysteresis_iters,
+        )
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got_kernel, flags = canny_mega(
+            planar, lo, hi, interpret=True, block_h=32, **kw
+        )
+        got_pipe = np.asarray(
+            canny_mega_pipeline(planar, lo, hi, interpret=True, **kw)
+        )
+        return want, np.asarray(got_kernel), got_pipe, np.asarray(flags)
+
+    def test_converged_multiblock(self):
+        want, got_kernel, got_pipe, flags = self._case(scan_after=12)
+        assert flags[0, 1] == 0  # converged within phase 1
+        np.testing.assert_array_equal(got_kernel, want)
+        np.testing.assert_array_equal(got_pipe, want)
+
+    def test_phase2_fallback(self):
+        # scan_after=1 forces the still-growing exit: the kernel's own edge
+        # map is NOT final, and the pipeline's cond must recover exactness
+        # through the two-kernel re-run.
+        want, got_kernel, got_pipe, flags = self._case(scan_after=1)
+        assert flags[0, 1] == 1  # phase boundary hit while still growing
+        np.testing.assert_array_equal(got_pipe, want)
+
+    def test_dispatch_routes_through_mega(self):
+        """canny_to_stage_pallas at a granule-eligible shape must produce
+        the xla backend's exact output through the mega path (the dispatch
+        contract ops/pallas/canny.py now carries)."""
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.canny import canny_to_stage_pallas
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 64, 256
+        cfg = CannyConfig(height=h, width=w)
+        assert mega_ok(h, w)
+        frame = jnp.asarray(make_scene(h, w, seed=3))
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got = np.asarray(
+            canny_to_stage_pallas(
+                frame, lo, hi, cfg, CannyStage.HYSTER, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)

@@ -276,6 +276,25 @@ o2 = np.asarray(hysteresis_pallas(jnp.asarray(t2)))
 if not np.array_equal(o2, oracle.hysteresis(t2)):
     failures.append("hysteresis snake")
 
+# Megakernel (single-launch whole pipeline) ON HARDWARE, through the
+# production dispatch (granule-eligible shape -> canny_to_stage_pallas
+# routes to canny_mega_pipeline): vs the whole oracle. The random frame's
+# dense candidate field exercises real convergence rounds either way the
+# phase-2 cond resolves.
+fr_m = rng.integers(0, 256, (64, 256, 3), dtype=np.uint8)
+from cudacam_tpu.ops.pallas.megakernel import mega_ok as _mega_ok
+assert _mega_ok(64, 256)
+cfg_m = CannyConfig(height=64, width=256)
+ref_m = oracle.canny_pipeline(fr_m, 10, 40)["hyster"]
+out_m = np.asarray(
+    canny_to_stage_pallas(
+        jnp.asarray(fr_m), jnp.int32(10), jnp.int32(40), cfg_m,
+        CannyStage.HYSTER
+    )
+)
+if not np.array_equal(out_m, ref_m):
+    failures.append(f"megakernel pipeline n={(out_m != ref_m).sum()}")
+
 # Whole pipeline glue vs whole oracle.
 frame = rng.integers(0, 256, (96, 160, 3), dtype=np.uint8)
 cfg = CannyConfig(height=96, width=160)
