@@ -19,15 +19,24 @@ Phase 2 (the 8-direction carry-lookahead scans) is deliberately NOT in
 this kernel: measured on hardware, the mere *presence* of the scan code
 costs ~100 us of base time at 1080p (instruction-footprint interference
 — a max_iters=3 variant whose phase-2 loop could never run still paid
-it; tools/mega_probe.py). Scenes that are still growing after
-``scan_after`` phase-1 rounds are rare (long monotone runs; natural
-scenes converge in a handful of rounds), so :func:`canny_mega_pipeline`
-handles them with a ``lax.cond`` fallback that re-runs the two-kernel
-path from the raw frame. That is bit-exact by the shared-schedule
-argument everywhere else in this codebase: phase-1 rounds are
-deterministic, so the re-run walks the identical trajectory this kernel
-just walked and then continues into phase 2 — the same round count and
-cap truncation as ``bitpack.hysteresis_packed`` (docs/parity.md).
+it; tools/mega_probe.py). When a frame is still growing after
+``scan_after`` phase-1 rounds (long monotone runs — rare at 1080p,
+scene-typical at 4K where chains outgrow the phase-1 propagation
+budget), the kernel skips the unpack and instead exports its packed
+planes + round count, and :func:`canny_mega_pipeline`'s ``lax.cond``
+hands them to a phase-2 continuation that RESUMES the convergence
+exactly where phase 1 stopped — zero recompute (no feed-forward re-run,
+no re-pack, no phase-1 replay; the handoff is one ~MB plane round-trip
+through HBM). Two continuation forms share one contract, picked by a
+static size policy (:func:`_cont_xla`'s docstring): a Pallas kernel
+(:func:`_cont_call`) for mega-frames, plain XLA ops (:func:`_cont_xla`)
+for small frames — an untaken cond branch holding a second Mosaic
+binary still costs ~12 us of device time, an untaken XLA branch
+nothing. Bit-exactness is immediate either way: the continuation
+executes the same ``bitpack._make_ops`` phase-2 schedule on the same
+state and the same round counter, so the composition IS
+``bitpack.hysteresis_packed``'s two while_loops, merely split across
+two launches at the phase boundary (docs/parity.md).
 
 Per frame, HBM is touched exactly TWICE in the common case: one read of
 the raw frame, one write of the edge map. The reference touches it ~14
@@ -97,12 +106,49 @@ def mega_ok(h: int, w: int) -> bool:
     return _mega_geometry(h, w) is not None
 
 
+def _unpack_out(f_ref, outbuf, osems, out_hbm, h: int, w: int, n_words: int):
+    """Unpack the converged FINAL plane + manual DMA out, double buffered
+    per word-chunk (the pipelined out-spec path can't work in either
+    caller: every output block depends on the converged global state).
+    Shared by the megakernel's last grid step and the phase-2 continuation
+    kernel."""
+    io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
+    ch_rows = outbuf.shape[1]
+    ckw = ch_rows // 32
+    n_out = -(-h // ch_rows)
+
+    def out_dma(j):
+        n_rows = min(ch_rows, h - j * ch_rows)
+        return pltpu.make_async_copy(
+            outbuf.at[j % 2, pl.ds(0, n_rows), :],
+            out_hbm.at[pl.ds(j * ch_rows, n_rows), :],
+            osems.at[j % 2],
+        )
+
+    for j in range(n_out):
+        if j >= 2:  # this slot's previous DMA must land first
+            out_dma(j - 2).wait()
+        for k in range(ckw):
+            if j * ckw + k >= n_words:
+                break  # tiny frame: chunk reaches past the state
+            word = f_ref[pl.ds(j * ckw + k, 1), pl.ds(0, w)]
+            bits = (jnp.broadcast_to(word, (32, w)) >> io32) & jnp.uint32(1)
+            outbuf[j % 2, k * 32 : (k + 1) * 32, :] = (
+                bits * jnp.uint32(FINAL_EDGE)
+            ).astype(jnp.uint8)
+        out_dma(j).start()
+    for j in range(max(0, n_out - 2), n_out):  # drain the tail
+        out_dma(j).wait()
+
+
 def _kernel(
     lo_ref,
     hi_ref,
     frame_hbm,
     out_hbm,
     flags_ref,
+    fout_hbm,
+    pout_hbm,
     slab,
     f_ref,
     p_ref,
@@ -274,36 +320,23 @@ def _kernel(
         flags_ref[0, 0] = it
         flags_ref[0, 1] = changed
 
-        # Unpack + manual DMA out, double buffered per word-chunk (the
-        # pipelined out-spec path can't work here: every output block
-        # depends on the converged global state).
-        io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
-        ch_rows = outbuf.shape[1]
-        ckw = ch_rows // 32
-        n_out = -(-h // ch_rows)
+        # Converged (the overwhelmingly common case): emit the edge map.
+        @pl.when(changed == 0)
+        def _():
+            _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
 
-        def out_dma(j):
-            n_rows = min(ch_rows, h - j * ch_rows)
-            return pltpu.make_async_copy(
-                outbuf.at[j % 2, pl.ds(0, n_rows), :],
-                out_hbm.at[pl.ds(j * ch_rows, n_rows), :],
-                osems.at[j % 2],
-            )
-
-        for j in range(n_out):
-            if j >= 2:  # this slot's previous DMA must land first
-                out_dma(j - 2).wait()
-            for k in range(ckw):
-                if j * ckw + k >= n_blocks * kw:
-                    break  # tiny frame: chunk reaches past the state
-                word = f_ref[pl.ds(j * ckw + k, 1), pl.ds(0, w)]
-                bits = (jnp.broadcast_to(word, (32, w)) >> io32) & jnp.uint32(1)
-                outbuf[j % 2, k * 32 : (k + 1) * 32, :] = (
-                    bits * jnp.uint32(FINAL_EDGE)
-                ).astype(jnp.uint8)
-            out_dma(j).start()
-        for j in range(max(0, n_out - 2), n_out):  # drain the tail
-            out_dma(j).wait()
+        # Still growing at the phase boundary: skip the (wasted) unpack and
+        # export the packed state + round count for the phase-2
+        # continuation kernel instead (module docstring). The edge-map
+        # output is left unwritten — the caller's cond discards it.
+        @pl.when(changed == 1)
+        def _():
+            cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
+            cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
+            cp_f.start()
+            cp_p.start()
+            cp_f.wait()
+            cp_p.wait()
 
 
 @functools.partial(
@@ -329,12 +362,15 @@ def canny_mega(
     block_h: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(edge_map (H, W) u8, flags (1, 2) i32) for a (3, H, W) planar BGR
-    frame — MONO through phase-1 hysteresis in one kernel launch. Callers
-    check :func:`mega_ok` first and MUST handle flags[0, 1] == 1 (still
-    growing at the phase boundary: the edge map is not converged — see
-    :func:`canny_mega_pipeline`, the composition users run). ``block_h``
-    overrides the slab height for probing (tools/mega_probe.py)."""
+    """(edge_map (H, W) u8, flags (1, 2) i32, packed FINAL plane, packed
+    CANDIDATE plane) for a (3, H, W) planar BGR frame — MONO through
+    phase-1 hysteresis in one kernel launch. Callers check
+    :func:`mega_ok` first and MUST handle flags[0, 1] == 1 (still growing
+    at the phase boundary: the edge map is UNWRITTEN and the packed
+    planes carry the in-progress state for :func:`_cont_call` — see
+    :func:`canny_mega_pipeline`, the composition users run; when
+    converged, the planes are unwritten instead). ``block_h`` overrides
+    the slab height for probing (tools/mega_probe.py)."""
     _, h, w = frame_planar.shape
     geo = _mega_geometry(h, w)
     assert geo is not None, "caller must check mega_ok()"
@@ -360,9 +396,137 @@ def canny_mega(
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 3, bh + 2 * ff.PAD_R, sw), jnp.uint8),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((2, ch_rows, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, flags, fpack, ppack = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+            jax.ShapeDtypeStruct((hwp, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((hwp, wp), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,  # the output leaves via manual DMA
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(low, jnp.int32).reshape(1),
+        jnp.asarray(high, jnp.int32).reshape(1),
+        frame_planar,
+    )
+    return out, flags, fpack, ppack
+
+
+def _cont_kernel(
+    it_ref,
+    f_hbm,
+    p_hbm,
+    out_hbm,
+    flags_ref,
+    f_ref,
+    p_ref,
+    outbuf,
+    sems,
+    osems,
+    *,
+    h: int,
+    w: int,
+    hwp: int,
+    wp: int,
+    dilate_steps: int,
+    max_iters: int,
+    carry_every: int,
+):
+    cp_f = pltpu.make_async_copy(f_hbm, f_ref, sems.at[0])
+    cp_p = pltpu.make_async_copy(p_hbm, p_ref, sems.at[1])
+    cp_f.start()
+    cp_p.start()
+    cp_f.wait()
+    cp_p.wait()
+
+    dilates, scans = bitpack._make_ops(
+        h, w, dilate_steps, carry_every=carry_every,
+        shifts=hfz._make_pl_shifts(hwp, wp),
+    )
+    p = p_ref[:, :]
+
+    def round2(carry):
+        it, _ = carry
+        f = f_ref[:, :]
+        nf = scans(dilates(f, p), p)
+        f_ref[:, :] = nf
+        return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+    # Exactly bitpack.hysteresis_packed's phase-2 while_loop, resumed at
+    # the imported round count: this kernel only ever runs when phase 1
+    # exited still-growing, so the initial changed is 1 by construction.
+    it, changed = jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < max_iters),
+        round2,
+        (it_ref[0], jnp.int32(1)),
+    )
+    flags_ref[0, 0] = it
+    flags_ref[0, 1] = changed
+    _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "hwp", "wp", "dilate_steps", "max_iters", "carry_every",
+        "interpret",
+    ),
+)
+def _cont_call(
+    fpack: jnp.ndarray,
+    ppack: jnp.ndarray,
+    it0: jnp.ndarray,
+    h: int,
+    w: int,
+    hwp: int,
+    wp: int,
+    dilate_steps: int,
+    max_iters: int,
+    carry_every: int = bitpack._CARRY_EVERY,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Phase-2 continuation: resume convergence on the packed state
+    :func:`canny_mega` exported (escalated rounds — dilations + the
+    8-direction carry-lookahead scans — to the cap), then unpack the edge
+    map. ``it0`` is the (1,) round count where phase 1 stopped. Returns
+    (edge_map, flags)."""
+    ch_rows = 128 if h > 128 else ((h + 31) // 32) * 32
+    kern = functools.partial(
+        _cont_kernel,
+        h=h, w=w, hwp=hwp, wp=wp, dilate_steps=dilate_steps,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # it0
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
             pltpu.VMEM((hwp, wp), jnp.uint32),
             pltpu.VMEM((hwp, wp), jnp.uint32),
             pltpu.VMEM((2, ch_rows, w), jnp.uint8),
@@ -383,12 +547,60 @@ def canny_mega(
             has_side_effects=True,  # the output leaves via manual DMA
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(low, jnp.int32).reshape(1),
-        jnp.asarray(high, jnp.int32).reshape(1),
-        frame_planar,
-    )
+    )(jnp.asarray(it0, jnp.int32).reshape(1), fpack, ppack)
     return out, flags
+
+
+def _cont_xla(
+    fpack: jnp.ndarray,
+    ppack: jnp.ndarray,
+    it0: jnp.ndarray,
+    h: int,
+    w: int,
+    dilate_steps: int,
+    max_iters: int,
+    carry_every: int = bitpack._CARRY_EVERY,
+) -> jnp.ndarray:
+    """Phase-2 continuation as plain XLA ops — same contract as
+    :func:`_cont_call`, directly on the exported guard-ringed planes.
+
+    bitpack's canonical pad/slice shift primitives already operate on this
+    exact layout (row-packed words major, image columns minor); the guard
+    word-row and lanes are zero in both planes and absorbing, so zero-fill
+    shifts over the (hwp, wp) extent behave identically to the logical
+    (ceil(h/32), w) extent — the factory's schedule does the rest.
+
+    Why this exists alongside the Pallas continuation: an UNTAKEN cond
+    branch holding a second Mosaic kernel still costs ~12 us of device
+    time at 1080p (binary-presence tax, tools/mega_probe.py); an untaken
+    XLA branch costs nothing. Small frames — where phase 2 is rare and
+    12 us is 10% of the frame — route here; mega-frames keep the Pallas
+    continuation (phase 2 is scene-typical there and runs ~2x faster than
+    this XLA form)."""
+    dilates, scans = bitpack._make_ops(
+        h, w, dilate_steps, carry_every=carry_every
+    )
+
+    def round2(carry):
+        it, f, _ = carry
+        nf = scans(dilates(f, ppack), ppack)
+        return it + 1, nf, jnp.max((nf != f).astype(jnp.int32))
+
+    _, f, _ = jax.lax.while_loop(
+        lambda c: (c[2] == 1) & (c[0] < max_iters),
+        round2,
+        (it0, fpack, jnp.int32(1)),
+    )
+    return jnp.where(
+        bitpack.unpack_mask(f[:, :w], h),
+        np.uint8(FINAL_EDGE),
+        np.uint8(0),
+    )
+
+
+#: Pixel count at which the pipeline's phase-2 continuation switches from
+#: the XLA form to the Pallas kernel (see _cont_xla's docstring): 4K and up.
+_CONT_PALLAS_MIN_PX = 4_000_000
 
 
 def canny_mega_pipeline(
@@ -402,13 +614,16 @@ def canny_mega_pipeline(
     dilate_steps: int = 16,
     scan_after: int = 10,
     max_iters: int = 100,
+    cont: str = "auto",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """The production single-launch pipeline: :func:`canny_mega` plus the
-    rare-frame phase-2 fallback. Bit-identical to the two-kernel path for
-    every input (shared round schedule + deterministic phase-1 re-run;
-    module docstring)."""
-    edge, flags = canny_mega(
+    phase-2 continuation for frames still growing at the phase boundary.
+    Bit-identical to the two-kernel path for every input (the two launches
+    execute bitpack.hysteresis_packed's two phases on the same state;
+    module docstring). ``cont`` picks the continuation implementation:
+    "auto" (size policy, _CONT_PALLAS_MIN_PX), "pallas", or "xla"."""
+    edge, flags, fpack, ppack = canny_mega(
         frame_planar, low, high,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
@@ -416,18 +631,34 @@ def canny_mega_pipeline(
     )
     if scan_after >= max_iters:
         return edge  # phase 2 statically unreachable: the cap IS phase 1
+    _, h, w = frame_planar.shape
+    _, _, hwp, wp = _mega_geometry(h, w)
+    if cont == "auto":
+        cont = "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"
 
-    def _fallback(frame):
-        thresh = ff.feed_forward_to_stage(
-            frame, low, high,
-            kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
-            parity=parity, out_stage=CannyStage.THRESH, interpret=interpret,
-        )
-        return hfz.hysteresis_fused(
-            thresh, max_iters=max_iters, dilate_steps=dilate_steps,
-            scan_after=scan_after, interpret=interpret,
-        )
+    if cont == "pallas":
+
+        def _continue(ops):
+            f, p, it0 = ops
+            out, _ = _cont_call(
+                f, p, it0, h=h, w=w, hwp=hwp, wp=wp,
+                dilate_steps=dilate_steps, max_iters=max_iters,
+                interpret=interpret,
+            )
+            return out
+
+    else:
+
+        def _continue(ops):
+            f, p, it0 = ops
+            return _cont_xla(
+                f, p, it0[0], h=h, w=w,
+                dilate_steps=dilate_steps, max_iters=max_iters,
+            )
 
     return jax.lax.cond(
-        flags[0, 1] == 1, _fallback, lambda _: edge, frame_planar
+        flags[0, 1] == 1,
+        _continue,
+        lambda ops: edge,
+        (fpack, ppack, flags[:1, 0]),
     )

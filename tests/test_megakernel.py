@@ -54,7 +54,7 @@ class TestMegaExactness:
     statically-predicated per-block packs, the partial last slab, and both
     convergence outcomes all execute)."""
 
-    def _case(self, scan_after):
+    def _case(self, scan_after, cont="auto"):
         import jax.numpy as jnp
 
         from cudacam_tpu import CannyConfig
@@ -80,11 +80,13 @@ class TestMegaExactness:
         want = np.asarray(
             xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
         )
-        got_kernel, flags = canny_mega(
+        got_kernel, flags, _, _ = canny_mega(
             planar, lo, hi, interpret=True, block_h=32, **kw
         )
         got_pipe = np.asarray(
-            canny_mega_pipeline(planar, lo, hi, interpret=True, **kw)
+            canny_mega_pipeline(
+                planar, lo, hi, interpret=True, cont=cont, **kw
+            )
         )
         return want, np.asarray(got_kernel), got_pipe, np.asarray(flags)
 
@@ -94,11 +96,16 @@ class TestMegaExactness:
         np.testing.assert_array_equal(got_kernel, want)
         np.testing.assert_array_equal(got_pipe, want)
 
-    def test_phase2_fallback(self):
+    @pytest.mark.parametrize("cont", ["xla", "pallas"])
+    def test_phase2_continuation(self, cont):
         # scan_after=1 forces the still-growing exit: the kernel's own edge
-        # map is NOT final, and the pipeline's cond must recover exactness
-        # through the two-kernel re-run.
-        want, got_kernel, got_pipe, flags = self._case(scan_after=1)
+        # map is UNWRITTEN, and the pipeline's cond must recover exactness
+        # by resuming phase 2 on the exported packed planes — through BOTH
+        # continuation forms (the size policy picks one in production; the
+        # contract is identical).
+        want, got_kernel, got_pipe, flags = self._case(
+            scan_after=1, cont=cont
+        )
         assert flags[0, 1] == 1  # phase boundary hit while still growing
         np.testing.assert_array_equal(got_pipe, want)
 
