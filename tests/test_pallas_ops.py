@@ -295,6 +295,31 @@ out_m = np.asarray(
 if not np.array_equal(out_m, ref_m):
     failures.append(f"megakernel pipeline n={(out_m != ref_m).sum()}")
 
+# Phase-2 continuation ON HARDWARE, both forms: scan_after=1 forces the
+# still-growing export + resume on a scene with real chains (the random
+# frame converges too fast). Both must reproduce the canonical output
+# bit-exactly (the split-schedule contract, megakernel.py docstring).
+from cudacam_tpu.io.sources import make_scene as _mk
+from cudacam_tpu.ops.pallas.megakernel import canny_mega as _cm
+from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline as _cmp
+
+fr_c = _mk(64, 256, seed=5)
+# The oracle runs hysteresis to the fixed point, which every schedule
+# reaches when the cap doesn't bite — scan_after=1 changes the route
+# (forcing the export/resume) but not the converged bitmap.
+ref_c = oracle.canny_pipeline(fr_c, 10, 40)["hyster"]
+pl_c = jnp.asarray(fr_c.transpose(2, 0, 1))
+kw_c = dict(dilate_steps=16, scan_after=1, max_iters=100)
+flags_c = np.asarray(_cm(pl_c, jnp.int32(10), jnp.int32(40), **kw_c)[1])
+if flags_c[0, 1] != 1:
+    failures.append(f"continuation case unexpectedly converged {flags_c}")
+for form in ("xla", "pallas"):
+    out_c = np.asarray(
+        _cmp(pl_c, jnp.int32(10), jnp.int32(40), cont=form, **kw_c)
+    )
+    if not np.array_equal(out_c, ref_c):
+        failures.append(f"continuation[{form}] n={(out_c != ref_c).sum()}")
+
 # Whole pipeline glue vs whole oracle.
 frame = rng.integers(0, 256, (96, 160, 3), dtype=np.uint8)
 cfg = CannyConfig(height=96, width=160)
