@@ -91,10 +91,13 @@ def canny_to_stage_pallas(
         and mega_ok(frame.shape[0], frame.shape[1])
     ):
         # The full-run hot path: raw BGR -> edge map in ONE kernel launch
-        # (ops/pallas/megakernel.py) — HBM touched twice per frame. The
-        # rare still-growing-at-phase-boundary frame re-runs the two-kernel
-        # path below via the pipeline's lax.cond, bit-identically (1080p
-        # scene: 161 -> 130 us device time, tools/mega_probe.py).
+        # (ops/pallas/megakernel.py) — HBM touched twice per frame. A
+        # still-growing-at-phase-boundary frame RESUMES phase 2 on the
+        # kernel's exported packed state (megakernel._cont_call/_cont_xla
+        # via the pipeline's lax.cond — zero recompute; NOT the two-kernel
+        # code below, which serves stage display and off-granule shapes),
+        # bit-identically (1080p scene: 161 -> 130 us device time,
+        # tools/mega_probe.py).
         return canny_mega_pipeline(
             jnp.transpose(frame, (2, 0, 1)),
             low,

@@ -148,6 +148,112 @@ def _gaussian_rolled(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     return out
 
 
+def planar_ingest_mono(
+    frame_hbm,
+    slab,
+    sems,
+    i,
+    *,
+    bh: int,
+    n_blocks: int,
+    img_h: int,
+    width: int,
+) -> jnp.ndarray:
+    """Raw (3, H, W) u8 frame -> i32 mono slab for grid step ``i``:
+    prefetching clamped slab DMA (double buffered into the (2, 3, slab_h,
+    sw) ``slab`` ring), in-kernel zero fill of the ring the clamped DMA
+    leaves unfilled, and the fused fixed-point BGR->mono conversion.
+    Shared by the standalone feed-forward kernel and the megakernel — the
+    ingest contract exists exactly once, like ``_stage_chain`` for the
+    stage math. Requires h % 8 == 0, w % 128 == 0 and bh % 8 == 0 (the
+    u8 DMA granules; callers gate via ops/pallas/canny._planar_ok)."""
+    slab_h = bh + 2 * PAD_R
+
+    # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
+    # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
+    # branch's row count/offset stays a static multiple of 8 (the u8
+    # row-DMA granule); exactly one branch runs per block index.
+    last = n_blocks - 1
+    n_last = img_h - last * bh + PAD_R  # rows available for the last slab
+
+    def _dma(src0, dst0, n, slot):
+        # pl.multiple_of: the traced row offsets are bh-multiples +- the
+        # 8-row PAD_R, but Mosaic can't prove that on its own ("Failed
+        # to prove that a tile index ... is divisible by the tiling").
+        return pltpu.make_async_copy(
+            frame_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
+            slab.at[slot, :, pl.ds(dst0, n), pl.ds(PAD_C, width)],
+            sems.at[slot],
+        )
+
+    def _each_branch(block_idx, slot, act):
+        if n_blocks == 1:
+            act(_dma(0, PAD_R, img_h, slot))
+            return
+
+        @pl.when(block_idx == 0)
+        def _():
+            act(_dma(0, PAD_R, bh + PAD_R, slot))
+
+        @pl.when((block_idx > 0) & (block_idx < last))
+        def _():
+            act(_dma(block_idx * bh - PAD_R, 0, slab_h, slot))
+
+        @pl.when(block_idx == last)
+        def _():
+            act(_dma(last * bh - PAD_R, 0, n_last, slot))
+
+    @pl.when(i == 0)
+    def _():
+        _each_branch(0, 0, lambda d: d.start())
+
+    @pl.when(i + 1 < n_blocks)
+    def _():
+        _each_branch(i + 1, (i + 1) % 2, lambda d: d.start())
+
+    _each_branch(i, i % 2, lambda d: d.wait())
+
+    # Zero the slab ring the clamped DMA leaves unfilled — the zero
+    # padding semantics the XLA pad pass provided on the mono path
+    # (reference zero-fills its shared-memory tiles, cannyEdgeD.cu:91-98).
+    # Column margins only depend on the buffer, not the block: zero them
+    # once per buffer (steps 0 and 1), after wait() so the stores cannot
+    # overlap this buffer's in-flight fill.
+    sw = slab.shape[-1]
+    slot = i % 2
+    fill_last = (img_h + PAD_R) if n_blocks == 1 else n_last
+
+    @pl.when(i <= min(1, n_blocks - 1))
+    def _():
+        slab[slot, :, :, :PAD_C] = jnp.zeros((3, slab_h, PAD_C), jnp.uint8)
+        slab[slot, :, :, PAD_C + width:] = jnp.zeros(
+            (3, slab_h, sw - PAD_C - width), jnp.uint8
+        )
+
+    @pl.when(i == 0)
+    def _():
+        slab[slot, :, :PAD_R, PAD_C:] = jnp.zeros(
+            (3, PAD_R, sw - PAD_C), jnp.uint8
+        )
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        slab[slot, :, fill_last:, PAD_C:] = jnp.zeros(
+            (3, slab_h - fill_last, sw - PAD_C), jnp.uint8
+        )
+
+    # --- 1/6 BGR -> mono fused into the slab (cannyEdgeD.cu:53-69):
+    # weights sum to 64, so acc >> 6 <= 255 and the oracle's min(255, .)
+    # is vacuous (oracle.rgb2mono).
+    from cudacam_tpu.ops.numpy_oracle import B_WT, G_WT, R_WT
+
+    return (
+        slab[slot, 0].astype(jnp.int32) * B_WT
+        + slab[slot, 1].astype(jnp.int32) * G_WT
+        + slab[slot, 2].astype(jnp.int32) * R_WT
+    ) >> 6
+
+
 def _valid_mask_i32(i, row0, col0, shape: Tuple[int, int], bh: int,
                     height: int, width: int) -> jnp.ndarray:
     """0/1 int32 mask of slab positions inside the global image. Slab [0,0]
@@ -209,7 +315,14 @@ def _kernel_body(
     slab_h = bh + 2 * PAD_R
     i = pl.program_id(0)
 
-    if not planar:
+    # Whole chain in one slab-shaped i32 coordinate frame; [0,0] sits at
+    # global pixel (origin + (i*bh - PAD_R, -PAD_C)).
+    if planar:
+        mono = planar_ingest_mono(
+            mono_hbm, slab, sems, i,
+            bh=bh, n_blocks=n_blocks, img_h=img_h, width=width,
+        )
+    else:
 
         def start_fetch(slot, block_idx):
             # Input rows are pre-padded by PAD_R top/bottom, so the slab
@@ -220,108 +333,15 @@ def _kernel_body(
                 sems.at[slot],
             )
 
-        def fetch_start(slot, block_idx):
-            start_fetch(slot, block_idx).start()
-
-        def fetch_wait(slot, block_idx):
-            start_fetch(slot, block_idx).wait()
-
-    else:
-        # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
-        # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
-        # branch's row count/offset stays a static multiple of 8 (the u8
-        # row-DMA granule); exactly one branch runs per block index.
-        last = n_blocks - 1
-        n_last = img_h - last * bh + PAD_R  # rows available for the last slab
-
-        def _dma(block_idx, src0, dst0, n, slot):
-            # pl.multiple_of: the traced row offsets are bh-multiples +- the
-            # 8-row PAD_R, but Mosaic can't prove that on its own ("Failed
-            # to prove that a tile index ... is divisible by the tiling").
-            return pltpu.make_async_copy(
-                mono_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
-                slab.at[slot, :, pl.ds(dst0, n), pl.ds(PAD_C, width)],
-                sems.at[slot],
-            )
-
-        def _each_branch(block_idx, slot, act):
-            if n_blocks == 1:
-                act(_dma(block_idx, 0, PAD_R, img_h, slot))
-                return
-            @pl.when(block_idx == 0)
-            def _():
-                act(_dma(block_idx, 0, PAD_R, bh + PAD_R, slot))
-
-            @pl.when((block_idx > 0) & (block_idx < last))
-            def _():
-                act(_dma(block_idx, block_idx * bh - PAD_R, 0, slab_h, slot))
-
-            @pl.when(block_idx == last)
-            def _():
-                act(_dma(block_idx, last * bh - PAD_R, 0, n_last, slot))
-
-        def fetch_start(slot, block_idx):
-            _each_branch(block_idx, slot, lambda d: d.start())
-
-        def fetch_wait(slot, block_idx):
-            _each_branch(block_idx, slot, lambda d: d.wait())
-
-    @pl.when(i == 0)
-    def _():
-        fetch_start(0, 0)
-
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        fetch_start((i + 1) % 2, i + 1)
-
-    fetch_wait(i % 2, i)
-
-    if planar:
-        # Zero the slab ring the clamped DMA leaves unfilled — the zero
-        # padding semantics the XLA pad pass provided on the mono path
-        # (reference zero-fills its shared-memory tiles, cannyEdgeD.cu:91-98).
-        # Column margins only depend on the buffer, not the block: zero them
-        # once per buffer (steps 0 and 1), after wait() so the stores cannot
-        # overlap this buffer's in-flight fill.
-        sw = slab.shape[-1]
-        slot = i % 2
-        fill_last = (img_h + PAD_R) if n_blocks == 1 else n_last
-
-        @pl.when(i <= min(1, n_blocks - 1))
-        def _():
-            slab[slot, :, :, :PAD_C] = jnp.zeros(
-                (3, slab_h, PAD_C), jnp.uint8
-            )
-            slab[slot, :, :, PAD_C + width:] = jnp.zeros(
-                (3, slab_h, sw - PAD_C - width), jnp.uint8
-            )
-
         @pl.when(i == 0)
         def _():
-            slab[slot, :, :PAD_R, PAD_C:] = jnp.zeros(
-                (3, PAD_R, sw - PAD_C), jnp.uint8
-            )
+            start_fetch(0, 0).start()
 
-        @pl.when(i == n_blocks - 1)
+        @pl.when(i + 1 < n_blocks)
         def _():
-            slab[slot, :, fill_last:, PAD_C:] = jnp.zeros(
-                (3, slab_h - fill_last, sw - PAD_C), jnp.uint8
-            )
+            start_fetch((i + 1) % 2, i + 1).start()
 
-    # Whole chain in one slab-shaped i32 coordinate frame; [0,0] sits at
-    # global pixel (origin + (i*bh - PAD_R, -PAD_C)).
-    if planar:
-        # --- 1/6 BGR -> mono fused into the slab (cannyEdgeD.cu:53-69):
-        # weights sum to 64, so acc >> 6 <= 255 and the oracle's min(255, .)
-        # is vacuous (oracle.rgb2mono).
-        from cudacam_tpu.ops.numpy_oracle import B_WT, G_WT, R_WT
-
-        mono = (
-            slab[i % 2, 0].astype(jnp.int32) * B_WT
-            + slab[i % 2, 1].astype(jnp.int32) * G_WT
-            + slab[i % 2, 2].astype(jnp.int32) * R_WT
-        ) >> 6
-    else:
+        start_fetch(i % 2, i).wait()
         mono = slab[i % 2].astype(jnp.int32)
     valid = _valid_mask_i32(
         i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w

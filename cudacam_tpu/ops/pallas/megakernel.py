@@ -162,7 +162,6 @@ def _kernel(
     wp: int,
     h: int,
     w: int,
-    sw: int,
     kernel_size: int,
     grad_coeff: int,
     norm: str,
@@ -173,80 +172,17 @@ def _kernel(
     carry_every: int,
 ):
     i = pl.program_id(0)
-    slab_h = bh + 2 * ff.PAD_R
     kw = bh // 32
-    last = n_blocks - 1
-    n_last = h - last * bh + ff.PAD_R  # input rows for the last slab
 
-    # ---- raw planar BGR slab DMA (feedforward.py's planar path) ---------
-    def _dma(block_idx, src0, dst0, n, slot):
-        return pltpu.make_async_copy(
-            frame_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
-            slab.at[slot, :, pl.ds(dst0, n), pl.ds(ff.PAD_C, w)],
-            sems.at[slot],
-        )
-
-    def _each_branch(block_idx, slot, act):
-        if n_blocks == 1:
-            act(_dma(block_idx, 0, ff.PAD_R, h, slot))
-            return
-
-        @pl.when(block_idx == 0)
-        def _():
-            act(_dma(block_idx, 0, ff.PAD_R, bh + ff.PAD_R, slot))
-
-        @pl.when((block_idx > 0) & (block_idx < last))
-        def _():
-            act(_dma(block_idx, block_idx * bh - ff.PAD_R, 0, slab_h, slot))
-
-        @pl.when(block_idx == last)
-        def _():
-            act(_dma(block_idx, last * bh - ff.PAD_R, 0, n_last, slot))
-
-    @pl.when(i == 0)
-    def _():
-        _each_branch(0, 0, lambda d: d.start())
-
-    @pl.when(i + 1 < n_blocks)
-    def _():
-        _each_branch(i + 1, (i + 1) % 2, lambda d: d.start())
-
-    _each_branch(i, i % 2, lambda d: d.wait())
-
-    # Zero the slab ring the clamped DMA leaves unfilled (same scheme and
-    # reasoning as feedforward._kernel_body's planar path).
-    slot = i % 2
-    fill_last = (h + ff.PAD_R) if n_blocks == 1 else n_last
-
-    @pl.when(i <= min(1, n_blocks - 1))
-    def _():
-        slab[slot, :, :, : ff.PAD_C] = jnp.zeros(
-            (3, slab_h, ff.PAD_C), jnp.uint8
-        )
-        slab[slot, :, :, ff.PAD_C + w :] = jnp.zeros(
-            (3, slab_h, sw - ff.PAD_C - w), jnp.uint8
-        )
-
-    @pl.when(i == 0)
-    def _():
-        slab[slot, :, : ff.PAD_R, ff.PAD_C :] = jnp.zeros(
-            (3, ff.PAD_R, sw - ff.PAD_C), jnp.uint8
-        )
-
-    @pl.when(i == n_blocks - 1)
-    def _():
-        slab[slot, :, fill_last:, ff.PAD_C :] = jnp.zeros(
-            (3, slab_h - fill_last, sw - ff.PAD_C), jnp.uint8
-        )
+    # ---- raw planar BGR ingest (feedforward.planar_ingest_mono: the
+    # shared clamped slab DMA + zero fill + fused mono — the ingest
+    # contract exists once, like _stage_chain for the stage math) --------
+    mono = ff.planar_ingest_mono(
+        frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
+        width=w,
+    )
 
     # ---- feed-forward chain to THRESH on the slab (shared stage math) ----
-    from cudacam_tpu.ops.numpy_oracle import B_WT, G_WT, R_WT
-
-    mono = (
-        slab[slot, 0].astype(jnp.int32) * B_WT
-        + slab[slot, 1].astype(jnp.int32) * G_WT
-        + slab[slot, 2].astype(jnp.int32) * R_WT
-    ) >> 6
     valid = ff._valid_mask_i32(
         i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
     )
@@ -320,23 +256,34 @@ def _kernel(
         flags_ref[0, 0] = it
         flags_ref[0, 1] = changed
 
-        # Converged (the overwhelmingly common case): emit the edge map.
-        @pl.when(changed == 0)
-        def _():
+        if scan_after >= max_iters:
+            # The cap IS phase 1 (cap1 == max_iters): the exit state is
+            # always final — converged or cap-TRUNCATED, the same monotone
+            # under-approximation every backend returns at this config
+            # (docs/parity.md). Phase 2 is unreachable, so the export code
+            # is statically elided and the edge map always emitted.
             _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
+        else:
+            # Converged (the overwhelmingly common case): emit the edge
+            # map. A still-growing exit here implies it == scan_after <
+            # max_iters — never the cap — so the continuation owns it.
+            @pl.when(changed == 0)
+            def _():
+                _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
 
-        # Still growing at the phase boundary: skip the (wasted) unpack and
-        # export the packed state + round count for the phase-2
-        # continuation kernel instead (module docstring). The edge-map
-        # output is left unwritten — the caller's cond discards it.
-        @pl.when(changed == 1)
-        def _():
-            cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
-            cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
-            cp_f.start()
-            cp_p.start()
-            cp_f.wait()
-            cp_p.wait()
+            # Still growing at the phase boundary: skip the (wasted)
+            # unpack and export the packed state + round count for the
+            # phase-2 continuation instead (module docstring). The
+            # edge-map output is left unwritten — the caller's cond
+            # discards it.
+            @pl.when(changed == 1)
+            def _():
+                cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
+                cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
+                cp_f.start()
+                cp_p.start()
+                cp_f.wait()
+                cp_p.wait()
 
 
 @functools.partial(
@@ -384,7 +331,7 @@ def canny_mega(
     ch_rows = 128
     kern = functools.partial(
         _kernel,
-        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w, sw=sw,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
@@ -623,6 +570,8 @@ def canny_mega_pipeline(
     execute bitpack.hysteresis_packed's two phases on the same state;
     module docstring). ``cont`` picks the continuation implementation:
     "auto" (size policy, _CONT_PALLAS_MIN_PX), "pallas", or "xla"."""
+    if cont not in ("auto", "pallas", "xla"):
+        raise ValueError(f"cont must be auto|pallas|xla, got {cont!r}")
     edge, flags, fpack, ppack = canny_mega(
         frame_planar, low, high,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
@@ -630,7 +579,10 @@ def canny_mega_pipeline(
         max_iters=max_iters, interpret=interpret,
     )
     if scan_after >= max_iters:
-        return edge  # phase 2 statically unreachable: the cap IS phase 1
+        # Phase 2 statically unreachable: the cap IS phase 1, and the
+        # kernel emits the (possibly cap-truncated) edge map
+        # unconditionally at this config.
+        return edge
     _, h, w = frame_planar.shape
     _, _, hwp, wp = _mega_geometry(h, w)
     if cont == "auto":

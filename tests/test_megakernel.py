@@ -109,6 +109,53 @@ class TestMegaExactness:
         assert flags[0, 1] == 1  # phase boundary hit while still growing
         np.testing.assert_array_equal(got_pipe, want)
 
+    def test_cap_truncation_emits_edge_map(self):
+        # max_iters <= scan_after makes the cap phase 1 itself: a frame
+        # still growing AT the cap must emit the truncated map (identical
+        # to every other backend's), not leave the output unwritten — the
+        # uninitialized-HBM hole a review caught: the kernel's unpack was
+        # predicated on convergence alone while the pipeline's early
+        # return assumed the map was always valid.
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        cfg = CannyConfig(
+            height=h, width=w, max_hysteresis_iters=2,
+            hysteresis_inner_steps=4,
+        )
+        frame = jnp.asarray(make_scene(h, w, seed=5))
+        planar = jnp.transpose(frame, (2, 0, 1))
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got = np.asarray(
+            canny_mega_pipeline(
+                planar, lo, hi, kernel_size=cfg.kernel_size,
+                grad_coeff=cfg.grad_coeff, norm=cfg.norm, parity=cfg.parity,
+                dilate_steps=4, scan_after=cfg.hysteresis_scan_after,
+                max_iters=2, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_cont_value_validated(self):
+        import jax.numpy as jnp
+
+        from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline
+
+        with pytest.raises(ValueError, match="cont"):
+            canny_mega_pipeline(
+                jnp.zeros((3, 32, 128), jnp.uint8), np.int32(10),
+                np.int32(40), cont="Pallas", interpret=True,
+            )
+
     def test_dispatch_routes_through_mega(self):
         """canny_to_stage_pallas at a granule-eligible shape must produce
         the xla backend's exact output through the mega path (the dispatch

@@ -29,7 +29,8 @@ import numpy as np
 
 from cudacam_tpu import CannyConfig
 from cudacam_tpu.io.sources import make_scene
-from cudacam_tpu.ops.pallas.canny import canny_to_stage_pallas
+from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
+from cudacam_tpu.ops.pallas.hysteresis_fused import hysteresis_fused
 from cudacam_tpu.ops.pallas.megakernel import (
     canny_mega,
     canny_mega_pipeline,
@@ -55,10 +56,23 @@ def named(name, f):
     return jax.jit(f)
 
 
-two_kernel = named(
-    "v_twokernel",
-    lambda f: canny_to_stage_pallas(f, lo, hi, cfg, CannyStage.HYSTER),
-)
+# The two-kernel baseline COMPOSED DIRECTLY: canny_to_stage_pallas would
+# route to the megakernel itself at this shape (the dispatch change that
+# landed with the mega), which would time the mega against itself and
+# make the exactness check vacuous.
+def _two_kernel(p):
+    thresh = feed_forward_to_stage(
+        p, lo, hi, kernel_size=cfg.kernel_size, grad_coeff=cfg.grad_coeff,
+        norm=cfg.norm, parity=cfg.parity, out_stage=CannyStage.THRESH,
+    )
+    return hysteresis_fused(
+        thresh, max_iters=cfg.max_hysteresis_iters,
+        dilate_steps=cfg.hysteresis_inner_steps,
+        scan_after=cfg.hysteresis_scan_after,
+    )
+
+
+two_kernel = named("v_twokernel", _two_kernel)
 mega_default = named("v_mega", lambda p: canny_mega(p, lo, hi, **kw)[0])
 mega_pipe = named("v_megapipe", lambda p: canny_mega_pipeline(p, lo, hi, **kw))
 
@@ -67,7 +81,7 @@ print("default geometry (bh, n_blocks, hwp, wp):", out["geometry_default"],
       flush=True)
 
 for name, fn, arg in (
-    ("two_kernel", two_kernel, frame),
+    ("two_kernel", two_kernel, planar),
     ("mega_default", mega_default, planar),
     ("mega_pipeline", mega_pipe, planar),
 ):
@@ -88,7 +102,7 @@ for bh in (128, 160, 192, 224, 256):
     print(f"mega_bh{bh}", out[f"mega_bh{bh}"], flush=True)
 
 # ---- correctness last (D2H degrades subsequent dispatch) -----------------
-want = np.asarray(two_kernel(frame))
+want = np.asarray(two_kernel(planar))
 got = np.asarray(mega_pipe(planar))
 got_flags = np.asarray(canny_mega(planar, lo, hi, **kw)[1])
 out["flags"] = got_flags.tolist()
