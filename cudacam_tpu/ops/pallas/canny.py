@@ -63,10 +63,20 @@ def _hyster(thresh, cfg: CannyConfig, interpret: bool):
 def _planar_ok(frame: jnp.ndarray) -> bool:
     """True when the raw (H, W, 3) frame can feed the kernel directly: the
     clamped slab DMAs need h on the 8-row and w on the 128-lane u8 granule
-    (feedforward._kernel_body's planar contract)."""
+    (feedforward.planar_ingest_mono's contract)."""
     return (
         frame.ndim == 3
         and frame.shape[-1] == 3
+        and frame.shape[0] % 8 == 0
+        and frame.shape[1] % 128 == 0
+    )
+
+
+def _gray_ok(frame: jnp.ndarray) -> bool:
+    """The grayscale analog of :func:`_planar_ok`: a raw (H, W) frame on
+    the same DMA granules feeds the megakernel's channel-free ingest."""
+    return (
+        frame.ndim == 2
         and frame.shape[0] % 8 == 0
         and frame.shape[1] % 128 == 0
     )
@@ -87,7 +97,7 @@ def canny_to_stage_pallas(
         return xla_ops.rgb2mono(frame)
     if (
         final_stage == CannyStage.HYSTER
-        and _planar_ok(frame)
+        and (_planar_ok(frame) or _gray_ok(frame))
         and mega_ok(frame.shape[0], frame.shape[1])
     ):
         # The full-run hot path: raw BGR -> edge map in ONE kernel launch
@@ -99,7 +109,7 @@ def canny_to_stage_pallas(
         # bit-identically (1080p scene: 161 -> 130 us device time,
         # tools/mega_probe.py).
         return canny_mega_pipeline(
-            jnp.transpose(frame, (2, 0, 1)),
+            frame if frame.ndim == 2 else jnp.transpose(frame, (2, 0, 1)),
             low,
             high,
             kernel_size=cfg.kernel_size,

@@ -159,15 +159,19 @@ def planar_ingest_mono(
     img_h: int,
     width: int,
 ) -> jnp.ndarray:
-    """Raw (3, H, W) u8 frame -> i32 mono slab for grid step ``i``:
-    prefetching clamped slab DMA (double buffered into the (2, 3, slab_h,
-    sw) ``slab`` ring), in-kernel zero fill of the ring the clamped DMA
-    leaves unfilled, and the fused fixed-point BGR->mono conversion.
-    Shared by the standalone feed-forward kernel and the megakernel — the
-    ingest contract exists exactly once, like ``_stage_chain`` for the
-    stage math. Requires h % 8 == 0, w % 128 == 0 and bh % 8 == 0 (the
-    u8 DMA granules; callers gate via ops/pallas/canny._planar_ok)."""
+    """Raw frame -> i32 mono slab for grid step ``i``: prefetching clamped
+    slab DMA (double buffered into the ``slab`` ring), in-kernel zero fill
+    of the ring the clamped DMA leaves unfilled, and — for (3, H, W)
+    planar BGR input — the fused fixed-point mono conversion; a (H, W)
+    grayscale frame (the reference's channels=1 config) takes the same
+    clamp/fill path with the channel dimension dropped (slab ring
+    (2, slab_h, sw)) and a plain upcast. Shared by the standalone
+    feed-forward kernel and the megakernel — the ingest contract exists
+    exactly once, like ``_stage_chain`` for the stage math. Requires
+    h % 8 == 0, w % 128 == 0 and bh % 8 == 0 (the u8 DMA granules;
+    callers gate via ops/pallas/canny._planar_ok)."""
     slab_h = bh + 2 * PAD_R
+    gray = len(frame_hbm.shape) == 2  # static: input rank picks the form
 
     # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
     # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
@@ -180,8 +184,15 @@ def planar_ingest_mono(
         # pl.multiple_of: the traced row offsets are bh-multiples +- the
         # 8-row PAD_R, but Mosaic can't prove that on its own ("Failed
         # to prove that a tile index ... is divisible by the tiling").
+        rows = pl.ds(pl.multiple_of(src0, 8), n)
+        if gray:
+            return pltpu.make_async_copy(
+                frame_hbm.at[rows, :],
+                slab.at[slot, pl.ds(dst0, n), pl.ds(PAD_C, width)],
+                sems.at[slot],
+            )
         return pltpu.make_async_copy(
-            frame_hbm.at[:, pl.ds(pl.multiple_of(src0, 8), n), :],
+            frame_hbm.at[:, rows, :],
             slab.at[slot, :, pl.ds(dst0, n), pl.ds(PAD_C, width)],
             sems.at[slot],
         )
@@ -223,24 +234,32 @@ def planar_ingest_mono(
     slot = i % 2
     fill_last = (img_h + PAD_R) if n_blocks == 1 else n_last
 
+    def _fill(rows, cols, n_rows, n_cols):
+        z = jnp.zeros(
+            (n_rows, n_cols) if gray else (3, n_rows, n_cols), jnp.uint8
+        )
+        if gray:
+            slab[slot, rows, cols] = z
+        else:
+            slab[slot, :, rows, cols] = z
+
     @pl.when(i <= min(1, n_blocks - 1))
     def _():
-        slab[slot, :, :, :PAD_C] = jnp.zeros((3, slab_h, PAD_C), jnp.uint8)
-        slab[slot, :, :, PAD_C + width:] = jnp.zeros(
-            (3, slab_h, sw - PAD_C - width), jnp.uint8
-        )
+        _fill(slice(None), slice(None, PAD_C), slab_h, PAD_C)
+        _fill(slice(None), slice(PAD_C + width, None), slab_h,
+              sw - PAD_C - width)
 
     @pl.when(i == 0)
     def _():
-        slab[slot, :, :PAD_R, PAD_C:] = jnp.zeros(
-            (3, PAD_R, sw - PAD_C), jnp.uint8
-        )
+        _fill(slice(None, PAD_R), slice(PAD_C, None), PAD_R, sw - PAD_C)
 
     @pl.when(i == n_blocks - 1)
     def _():
-        slab[slot, :, fill_last:, PAD_C:] = jnp.zeros(
-            (3, slab_h - fill_last, sw - PAD_C), jnp.uint8
-        )
+        _fill(slice(fill_last, None), slice(PAD_C, None),
+              slab_h - fill_last, sw - PAD_C)
+
+    if gray:
+        return slab[slot].astype(jnp.int32)
 
     # --- 1/6 BGR -> mono fused into the slab (cannyEdgeD.cu:53-69):
     # weights sum to 64, so acc >> 6 <= 255 and the oracle's min(255, .)

@@ -310,15 +310,17 @@ def canny_mega(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(edge_map (H, W) u8, flags (1, 2) i32, packed FINAL plane, packed
-    CANDIDATE plane) for a (3, H, W) planar BGR frame — MONO through
-    phase-1 hysteresis in one kernel launch. Callers check
-    :func:`mega_ok` first and MUST handle flags[0, 1] == 1 (still growing
-    at the phase boundary: the edge map is UNWRITTEN and the packed
-    planes carry the in-progress state for :func:`_cont_call` — see
-    :func:`canny_mega_pipeline`, the composition users run; when
+    CANDIDATE plane) for a (3, H, W) planar BGR frame OR a (H, W)
+    grayscale frame (channels=1 config — same kernel, channel-free
+    ingest) — MONO through phase-1 hysteresis in one kernel launch.
+    Callers check :func:`mega_ok` first and MUST handle flags[0, 1] == 1
+    (still growing at the phase boundary: the edge map is UNWRITTEN and
+    the packed planes carry the in-progress state for :func:`_cont_call`
+    — see :func:`canny_mega_pipeline`, the composition users run; when
     converged, the planes are unwritten instead). ``block_h`` overrides
     the slab height for probing (tools/mega_probe.py)."""
-    _, h, w = frame_planar.shape
+    h, w = frame_planar.shape[-2:]
+    gray = frame_planar.ndim == 2
     geo = _mega_geometry(h, w)
     assert geo is not None, "caller must check mega_ok()"
     bh, n_blocks, hwp, wp = geo
@@ -329,6 +331,10 @@ def canny_mega(
         hwp = n_blocks * (bh // 32) + 1
     sw = ff._slab_w(w)
     ch_rows = 128
+    slab_shape = (
+        (2, bh + 2 * ff.PAD_R, sw) if gray
+        else (2, 3, bh + 2 * ff.PAD_R, sw)
+    )
     kern = functools.partial(
         _kernel,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
@@ -347,7 +353,7 @@ def canny_mega(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 3, bh + 2 * ff.PAD_R, sw), jnp.uint8),
+            pltpu.VMEM(slab_shape, jnp.uint8),
             pltpu.VMEM((hwp, wp), jnp.uint32),
             pltpu.VMEM((hwp, wp), jnp.uint32),
             pltpu.VMEM((2, ch_rows, w), jnp.uint8),
@@ -583,7 +589,7 @@ def canny_mega_pipeline(
         # kernel emits the (possibly cap-truncated) edge map
         # unconditionally at this config.
         return edge
-    _, h, w = frame_planar.shape
+    h, w = frame_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
     if cont == "auto":
         cont = "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"

@@ -109,6 +109,39 @@ class TestMegaExactness:
         assert flags[0, 1] == 1  # phase boundary hit while still growing
         np.testing.assert_array_equal(got_pipe, want)
 
+    def test_grayscale_multiblock(self):
+        """A raw (H, W) grayscale frame (channels=1 config) through the
+        channel-free ingest must match the xla backend exactly — same
+        multi-block geometry as the BGR pins (partial last slab, clamp
+        branches, zero fill all run)."""
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.canny import _gray_ok
+        from cudacam_tpu.ops.pallas.megakernel import canny_mega
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        cfg = CannyConfig(height=h, width=w, channels=1)
+        gray = jnp.asarray(make_scene(h, w, seed=5)[..., 0].copy())
+        assert _gray_ok(gray)
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(gray, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got, flags, _, _ = canny_mega(
+            gray, lo, hi, interpret=True, block_h=32,
+            kernel_size=cfg.kernel_size, grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm, parity=cfg.parity,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters,
+        )
+        assert np.asarray(flags)[0, 1] == 0
+        np.testing.assert_array_equal(np.asarray(got), want)
+
     def test_cap_truncation_emits_edge_map(self):
         # max_iters <= scan_after makes the cap phase 1 itself: a frame
         # still growing AT the cap must emit the truncated map (identical
