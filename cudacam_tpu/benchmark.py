@@ -213,7 +213,9 @@ def full_table() -> None:
         add(f"1080p batched x{b} ms/frame [{engb.backend}]", dev, wall,
             "batching amortizes DISPATCH only: frames run back-to-back "
             "inside one executable (lax.map), so device time/frame stays "
-            "flat — one 1080p frame already saturates the chip's VPU")
+            "flat — one 1080p frame already saturates the chip's VPU; "
+            "row variance tracks scene convergence (the x8 batch includes "
+            "two scenes that enter hysteresis phase 2)")
 
     # Threshold sweep (BASELINE.json config 3): K (low, high) pairs in one
     # compiled program — on the pallas backend this runs the PRODUCTION
@@ -247,7 +249,11 @@ def full_table() -> None:
     run_spiral()
     dev, wall = _measure_ms_per_frame(run_spiral, 1, on_tpu)
     add("hysteresis worst case (1080p spiral)", dev, wall,
-        "single ~1M-px chain; cap-bounded (docs/parity.md)")
+        "single ~1M-px chain; cap-bounded (docs/parity.md). Through the "
+        "streaming engine (megakernel + XLA phase-2 continuation) the "
+        "same input costs ~3.1 ms — the continuation's XLA scan rounds "
+        "run ~1.4x the in-kernel ones; both are adversarial-input "
+        "ceilings, not scene behavior (docs/performance.md)")
 
     # Sharded path (BASELINE >=80% scaling target; no pod attached — see
     # the Sharded section writer): the measurable single-chip piece is the
