@@ -324,6 +324,8 @@ def full_table() -> None:
         mono_ms = mono_row[1]
         traffic_mb = (h * w * 3 + (h + 16) * 2176) / 1e6  # BGR read + padded mono write
         gbs = traffic_mb / 1e3 / (mono_ms / 1e3)
+        full_row = next((r for r in rows if "stream ms/frame [pallas]" in r[0]
+                         and r[1]), None)
         lines += [
             "",
             "## Roofline (1080p, measured)",
@@ -331,6 +333,21 @@ def full_table() -> None:
             f"- mono+pad pass: {traffic_mb:.1f} MB in {mono_ms*1e3:.1f} us "
             f"= **{gbs:.0f} GB/s achieved** (v5e HBM peak ~819 GB/s -> "
             f"{100*gbs/819:.0f}% — an elementwise u8 pass is near the bound).",
+        ]
+        if full_row is not None:
+            tot_mb = (h * w * 3 + h * w) / 1e6  # raw frame read + edge write
+            lines += [
+                f"- megakernel (whole pipeline): HBM touched twice — "
+                f"{tot_mb:.1f} MB total in {full_row[1]*1e3:.0f} us ≈ "
+                f"{tot_mb/1e3/(full_row[1]/1e3):.0f} GB/s. Deliberately far "
+                "from the HBM bound: the frame is read ONCE and every "
+                "intermediate (mono, blur, gradients, NMS, thresholds, "
+                "packed hysteresis state) lives and dies in VMEM, so the "
+                "chain is VPU-bound on its ~45 vector ops/pixel "
+                "(docs/performance.md's op inventory), not bandwidth-bound "
+                "like the reference's 14-round-trip kernel chain.",
+            ]
+        lines += [
             "- fused feed-forward kernel: DMA floor measured at ~9 us "
             "(copy-only kernel variant); the full chain is VPU-bound on "
             "stencil rolls, not HBM-bound (per-op roll costs in "

@@ -80,10 +80,24 @@ out = {"geometry_default": _mega_geometry(h, w)}
 print("default geometry (bh, n_blocks, hwp, wp):", out["geometry_default"],
       flush=True)
 
+mega_pipe_pl = named(
+    "v_megapipe_pl",
+    lambda p: canny_mega_pipeline(p, lo, hi, cont="pallas", **kw),
+)
+mega_pipe_xla = named(
+    "v_megapipe_xla",
+    lambda p: canny_mega_pipeline(p, lo, hi, cont="xla", **kw),
+)
+
+# On the converged scene, pipeline[pallas] - pipeline[xla] is the Mosaic
+# binary-presence tax of the UNTAKEN continuation branch (~12 us): the
+# measurement behind the size policy (megakernel._cont_xla docstring).
 for name, fn, arg in (
     ("two_kernel", two_kernel, planar),
     ("mega_default", mega_default, planar),
     ("mega_pipeline", mega_pipe, planar),
+    ("mega_pipeline_cont_pallas", mega_pipe_pl, planar),
+    ("mega_pipeline_cont_xla", mega_pipe_xla, planar),
 ):
     times = device_time_us(fn, arg, passes=6)
     out[name] = {k: round(v, 1) for k, v in times.items()}
