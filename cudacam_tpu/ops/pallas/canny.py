@@ -232,17 +232,24 @@ def canny_all_stages_pallas(
     own blur buffer (bit-exact inputs; see docs/parity.md)."""
     from cudacam_tpu.ops.pallas.feedforward import feed_forward_all_stages
 
-    mono = xla_ops.rgb2mono(frame)
-    blur, grad_disp, nms, thresh = feed_forward_all_stages(
-        mono,
-        low,
-        high,
+    kw = dict(
         kernel_size=cfg.kernel_size,
         grad_coeff=cfg.grad_coeff,
         norm=cfg.norm,
         parity=cfg.parity,
         interpret=interpret,
     )
+    if _planar_ok(frame):
+        # Raw ingest: one kernel pass emits ALL FIVE buffers including the
+        # in-slab mono conversion — no XLA pre-pass even in display mode.
+        mono, blur, grad_disp, nms, thresh = feed_forward_all_stages(
+            jnp.transpose(frame, (2, 0, 1)), low, high, **kw
+        )
+    else:
+        mono = xla_ops.rgb2mono(frame)
+        blur, grad_disp, nms, thresh = feed_forward_all_stages(
+            mono, low, high, **kw
+        )
     sum_x, sum_y = xla_ops.sobel_sums(blur)
     inv8 = jnp.float32(0.125)
     sx = sum_x.astype(jnp.float32) * inv8

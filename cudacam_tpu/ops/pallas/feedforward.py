@@ -373,11 +373,17 @@ def _kernel_body(
                 core if stage == "NMSQ" else core.astype(jnp.uint8)
             )
 
-    _stage_chain(
-        mono, valid, lo_ref[0], hi_ref[0],
-        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
-        parity=parity, out_stages=out_stages, emit=emit,
-    )
+    # MONO is emitted here, not by the stage chain: on the planar path it
+    # is the in-slab conversion's result (the all-stages display mode gets
+    # its mono buffer from the same single pass — no XLA pre-pass at all).
+    emit(CannyStage.MONO, mono)
+    chain_stages = tuple(s for s in out_stages if s != CannyStage.MONO)
+    if chain_stages:
+        _stage_chain(
+            mono, valid, lo_ref[0], hi_ref[0],
+            kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+            parity=parity, out_stages=chain_stages, emit=emit,
+        )
 
 
 def _stage_chain(
@@ -608,16 +614,24 @@ def feed_forward_all_stages(
     block_h: Optional[int] = None,
     origin=None,
     image_size: Optional[Tuple[int, int]] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Every feed-forward display buffer (gaussian, gradient, nms, thresh)
-    from ONE kernel pass: the chain runs once and each stage's uint8 block
-    is emitted as its own output (vs one full pass per stage). This is the
-    all-stages display mode's compute (the reference keeps every
-    intermediary for display, README.md:22)."""
+) -> Tuple[jnp.ndarray, ...]:
+    """Every feed-forward display buffer from ONE kernel pass: the chain
+    runs once and each stage's uint8 block is emitted as its own output
+    (vs one full pass per stage). This is the all-stages display mode's
+    compute (the reference keeps every intermediary for display,
+    README.md:22).
+
+    ``mono`` may instead be the RAW (3, H, W) planar BGR frame
+    (granule-eligible shapes): the kernel then ingests the frame directly
+    — zero XLA pre-passes — and ALSO emits the in-slab mono conversion as
+    a leading fifth buffer, so the return is (mono, gaussian, gradient,
+    nms, thresh) instead of the mono-input path's four."""
+    stages = (CannyStage.GAUSSIAN, CannyStage.GRADIENT, CannyStage.NMS,
+              CannyStage.THRESH)
+    if mono.ndim == 3:
+        stages = (CannyStage.MONO,) + stages
     return _feed_forward_multi(
-        mono, low, high,
-        (CannyStage.GAUSSIAN, CannyStage.GRADIENT, CannyStage.NMS,
-         CannyStage.THRESH),
+        mono, low, high, stages,
         kernel_size, grad_coeff, norm, parity, interpret, block_h, origin,
         image_size,
     )

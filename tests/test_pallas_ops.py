@@ -157,6 +157,31 @@ class TestMultiOutputKernel:
                 np.asarray(got), np.asarray(want), err_msg=stage.name
             )
 
+    @pytest.mark.slow
+    def test_planar_all_stages_interpret(self):
+        """The 5-output planar form (raw BGR ingest + in-slab mono emitted
+        as a leading buffer) must reproduce the oracle's buffers exactly —
+        multi-block so the clamp/fill branches run under multi-output
+        emission."""
+        from cudacam_tpu.ops import numpy_oracle as oracle
+        from cudacam_tpu.ops.pallas.feedforward import feed_forward_all_stages
+        from cudacam_tpu.stages import CannyStage
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        frame = rng.integers(0, 256, (32, 128, 3), np.uint8)
+        lo, hi = jnp.int32(10), jnp.int32(40)
+        mono, blur, grad, nms, thresh = feed_forward_all_stages(
+            jnp.asarray(frame.transpose(2, 0, 1)), lo, hi,
+            interpret=True, block_h=16,
+        )
+        o = oracle.canny_pipeline(frame, 10, 40)
+        np.testing.assert_array_equal(np.asarray(mono), o["mono"])
+        np.testing.assert_array_equal(np.asarray(blur), o["gaussian"])
+        np.testing.assert_array_equal(np.asarray(grad), o["gradient_display"])
+        np.testing.assert_array_equal(np.asarray(nms), o["nms"])
+        np.testing.assert_array_equal(np.asarray(thresh), o["thresh"])
+
 
 _TPU_CHECK_SCRIPT = r"""
 import sys
@@ -435,6 +460,17 @@ for key in ("sobel_x", "sobel_y", "grad", "slope"):
     got = np.asarray(allb[key])
     if not np.allclose(got, oref[key], rtol=1e-5, atol=1e-4):
         failures.append(f"process_all float {key}")
+
+# process_all at a granule-eligible shape: the 5-output PLANAR form (raw
+# ingest + in-slab mono emitted from the same pass — zero XLA pre-passes
+# even in display mode).
+eng_m = CannyEngine(CannyConfig(height=64, width=256, backend="pallas"))
+allm = eng_m.process_all(fr_m)
+orefm = oracle.canny_pipeline(fr_m, 10, 40)
+for key in ("mono", "gaussian", "gradient_display", "nms", "thresh", "hyster"):
+    got = np.asarray(allm[key])
+    if not np.array_equal(got, orefm[key]):
+        failures.append(f"process_all planar {key} n={(got != orefm[key]).sum()}")
 
 if failures:
     print("FAIL:" + ";".join(failures))
