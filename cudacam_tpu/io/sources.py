@@ -173,14 +173,21 @@ class FrameSource(abc.ABC):
 
 
 class SyntheticSource(FrameSource):
-    """Animated procedural scene; infinite unless ``n_frames`` is set."""
+    """Animated procedural scene; infinite unless ``n_frames`` is set.
+    ``channels=1`` emits (H, W) grayscale frames — the reference accepts
+    8UC1 input (cvPipeline.cpp:32), so the CLI can drive that config too
+    (``synthetic:HxWx1``)."""
 
     def __init__(self, height: int = 1080, width: int = 1920, seed: int = 0,
-                 n_frames: Optional[int] = None, fps: float = 30.0) -> None:
+                 n_frames: Optional[int] = None, fps: float = 30.0,
+                 channels: int = 3) -> None:
         super().__init__()
+        if channels not in (1, 3):
+            raise ValueError(f"channels must be 1 or 3, got {channels}")
         self._h, self._w, self._seed = height, width, seed
         self._n = n_frames
         self._fps = fps
+        self._c = channels
         self._i = 0
 
     def _open(self) -> None:
@@ -191,7 +198,7 @@ class SyntheticSource(FrameSource):
             return None
         f = make_scene(self._h, self._w, self._seed, t=self._i / self._fps)
         self._i += 1
-        return f
+        return f[..., 0].copy() if self._c == 1 else f
 
 
 class VideoFileSource(FrameSource):
@@ -344,7 +351,8 @@ class RawvSource(FrameSource):
 def open_source(spec: str, **kw) -> FrameSource:
     """Parse a source spec string into a FrameSource — the CLI's way in.
 
-    Forms: ``synthetic`` | ``synthetic:HxW`` | ``webcam`` | ``webcam:IDX``
+    Forms: ``synthetic`` | ``synthetic:HxW`` | ``synthetic:HxWx1``
+    (grayscale) | ``webcam`` | ``webcam:IDX``
     | ``video:PATH`` | ``seq:PATH`` | ``rawv:PATH`` | a bare path
     (``.rawv``/``.npy``/directory/video, dispatched by extension) |
     ``multi:<spec>,<spec>,...`` or ``multi:N*<spec>`` (batched multi-camera;
@@ -370,9 +378,14 @@ def open_source(spec: str, **kw) -> FrameSource:
         return BatchSource(children)
     if spec.startswith("synthetic"):
         if ":" in spec:
-            dims = spec.split(":", 1)[1]
-            h, w = (int(v) for v in dims.lower().split("x"))
-            return SyntheticSource(height=h, width=w, **kw)
+            dims = [int(v) for v in spec.split(":", 1)[1].lower().split("x")]
+            if len(dims) == 2:
+                h, w = dims
+                return SyntheticSource(height=h, width=w, **kw)
+            if len(dims) == 3:  # synthetic:HxWx1 = grayscale (8UC1 analog)
+                h, w, c = dims
+                return SyntheticSource(height=h, width=w, channels=c, **kw)
+            raise ValueError(f"bad synthetic spec {spec!r}: want HxW or HxWxC")
         return SyntheticSource(**kw)
     if spec.startswith("webcam"):
         dev = int(spec.split(":", 1)[1]) if ":" in spec else 0

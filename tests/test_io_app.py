@@ -34,6 +34,22 @@ class TestSources:
             assert len(frames) == 5
             assert all(f.shape == (48, 64, 3) and f.dtype == np.uint8 for f in frames)
 
+    def test_synthetic_grayscale(self):
+        # channels=1 = the reference's 8UC1 input config (cvPipeline.cpp:32),
+        # reachable from the CLI as synthetic:HxWx1.
+        from cudacam_tpu.io.sources import open_source
+
+        src = open_source("synthetic:48x64x1", n_frames=3)
+        with src:
+            assert src.spec == (48, 64, 1)
+            frames = list(src)
+            assert all(f.shape == (48, 64) and f.dtype == np.uint8
+                       for f in frames)
+        with pytest.raises(ValueError):
+            SyntheticSource(height=8, width=8, channels=2)
+        with pytest.raises(ValueError):
+            open_source("synthetic:8x8x1x9")
+
     def test_read_eof(self):
         src = SyntheticSource(height=16, width=16, n_frames=1)
         src.start()
