@@ -34,7 +34,12 @@ from cudacam_tpu.ops.pallas.feedforward import (
     feed_forward_nmsq,
     feed_forward_to_stage,
 )
-from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok, hysteresis_fused
+from cudacam_tpu.ops.pallas.hysteresis_fused import (
+    batched_ok,
+    fused_ok,
+    hysteresis_fused,
+    hysteresis_fused_batched,
+)
 from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline, mega_ok
 from cudacam_tpu.stages import CannyStage
 
@@ -58,6 +63,14 @@ def _hyster(thresh, cfg: CannyConfig, interpret: bool):
         dilate_steps=cfg.hysteresis_inner_steps,
         scan_after=cfg.hysteresis_scan_after,
     )
+
+
+def _sweep_group_size(k: int, h: int, w: int) -> int:
+    """Largest number of threshold-sweep tails (<= k) whose section stack
+    fits the fused hysteresis kernel's packed-plane budget; 0 when even a
+    solo (h, w) frame doesn't qualify (then the sweep uses lax.map over
+    _hyster, which picks the chunked XLA loop)."""
+    return max((c for c in range(1, k + 1) if batched_ok(c, h, w)), default=0)
 
 
 def _planar_ok(frame: jnp.ndarray) -> bool:
@@ -202,15 +215,44 @@ def threshold_sweep_pallas(
             jnp.where(cand, jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
         )
 
-    def tail(pair):
-        lo, hi = pair
-        return _hyster(thresh_map(lo, hi), cfg, interpret)
+    lows = jnp.asarray(lows, jnp.int32)
+    highs = jnp.asarray(highs, jnp.int32)
+    k = lows.shape[0]
+    h, w = kg.shape
+    g = _sweep_group_size(k, h, w)
+    if g <= 1:
+        # Frame too large for the stacked kernel (e.g. 8K sweeps): the
+        # tails dispatch per pair through _hyster's usual size policy.
+        def tail(pair):
+            lo, hi = pair
+            return _hyster(thresh_map(lo, hi), cfg, interpret)
 
-    # lax.map, not vmap: the fused hysteresis kernel's manual DMA grid
-    # doesn't vectorise (same reason the engine batches with lax.map).
-    maps = jax.lax.map(
-        tail, (jnp.asarray(lows, jnp.int32), jnp.asarray(highs, jnp.int32))
-    )
+        # lax.map, not vmap: the fused hysteresis kernel's manual DMA grid
+        # doesn't vectorise (same reason the engine batches with lax.map).
+        maps = jax.lax.map(tail, (lows, highs))
+    else:
+        # Batched tails: ceil(k/g) stacked-section kernel launches
+        # (hysteresis_fused_batched), each converging g maps at once.
+        # Measured at 1080p/K=16: 2.75 -> ~1.2 ms — the lax.map above
+        # cost ~80 us PER ITERATION on top of the 84 us tail itself
+        # (tools/sweep_probe.py). A short last group repeats the final
+        # pair so every launch shares one kernel shape (one Mosaic
+        # compile); duplicate outputs are dropped.
+        n_groups = -(-k // g)
+        g = -(-k // n_groups)  # rebalance, e.g. K=16 g_max=5 -> 4 groups of 4
+        idx = list(range(k)) + [k - 1] * (n_groups * g - k)
+        outs = []
+        for gi in range(n_groups):
+            grp = idx[gi * g : (gi + 1) * g]
+            tms = jnp.stack([thresh_map(lows[i], highs[i]) for i in grp])
+            outs.append(hysteresis_fused_batched(
+                tms,
+                max_iters=cfg.max_hysteresis_iters,
+                dilate_steps=cfg.hysteresis_inner_steps,
+                scan_after=cfg.hysteresis_scan_after,
+                interpret=interpret,
+            ))
+        maps = jnp.concatenate(outs)[:k]
     counts = (maps == np.uint8(FINAL_EDGE)).sum(axis=(1, 2)).astype(jnp.int32)
     return maps, counts
 

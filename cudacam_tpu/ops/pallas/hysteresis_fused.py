@@ -328,6 +328,7 @@ def hysteresis_fused(
     dilate_steps: int = 16,
     scan_after: int = 10,
     interpret: bool = False,
+    log_shape: Tuple[int, int] | None = None,
 ):
     """Drop-in for ``bitpack.hysteresis_packed`` on the Pallas backend:
     same arguments, bit-identical output (including under cap truncation —
@@ -340,8 +341,16 @@ def hysteresis_fused(
     sharded pipeline's halo-extended tiles run through this kernel
     (parallel/sharded.fused_local_saturate). ``remove_candidates=False``
     (the sharded round loop's contract: candidates survive for the next
-    exchange) is one elementwise blend after the kernel."""
+    exchange) is one elementwise blend after the kernel.
+
+    ``log_shape`` overrides the schedule extents fed to
+    ``bitpack._make_ops`` (default: the input's own shape). The batched
+    section-stacked caller (:func:`hysteresis_fused_batched`) passes the
+    PER-SECTION extent so the stacked run executes exactly the solo
+    frame's round schedule — extents are a schedule-parity input, never a
+    masking input (masking derives from the real plane geometry)."""
     h, w = thresh.shape
+    log_h, log_w = log_shape if log_shape is not None else (h, w)
     hp, wp = _pad_shape(h, w)
     t_in = (
         thresh if (hp, wp) == (h, w)
@@ -349,7 +358,7 @@ def hysteresis_fused(
     )
     out, flags = _fused_call(
         t_in, max_iters, dilate_steps, scan_after,
-        bitpack._CARRY_EVERY, interpret, h, w,
+        bitpack._CARRY_EVERY, interpret, log_h, log_w,
     )
     if (hp, wp) != (h, w):
         out = out[:h, :w]
@@ -358,3 +367,64 @@ def hysteresis_fused(
     if return_iters:
         return out, flags[0, 0]
     return out
+
+
+def _section_stride(h: int) -> int:
+    """Row stride of one section in a stacked batch: the section's rows
+    rounded up to a whole packed word (32 image rows) plus one full zero
+    word-row of spacer."""
+    return ((h + 31) // 32) * 32 + 32
+
+
+def batched_ok(g: int, h: int, w: int) -> bool:
+    """True when a g-section stack of (h, w) maps fits the kernel's
+    packed-plane VMEM budget."""
+    return g >= 1 and fused_ok(g * _section_stride(h), w)
+
+
+def hysteresis_fused_batched(
+    threshs: jnp.ndarray,
+    max_iters: int = 100,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Converge g independent threshold maps in ONE kernel launch.
+
+    The (g, h, w) maps are stacked vertically at a 32-row-aligned stride
+    with >=32 zero spacer rows between sections and run through the same
+    fused kernel with ``log_shape`` pinned to the per-section (h, w), so
+    every section's output is bit-identical to a solo run — including
+    under cap truncation:
+
+    * dilation promotion is masked by CANDIDATE, which is zero in every
+      spacer row, so +-1 steps cannot cross a section boundary;
+    * scan promotion uses the accumulated block propagate, which is zero
+      across any span containing a spacer row, so carry-lookahead steps
+      (shifts up to the section extent) cannot cross either;
+    * rounds run until the SLOWEST section converges; a converged section
+      sits at its absorbing fixed point through the extra rounds, and the
+      phase-1/phase-2 boundary and the iteration cap land at the same
+      global round indices as a solo run — identical cadence, identical
+      bits (the docs/parity.md contract).
+
+    This amortizes the per-launch costs a solo tail pays (kernel entry,
+    pack/unpack ramp, output drain) and — the measured dominator — lets
+    the threshold sweep drop ``lax.map``, whose per-iteration overhead was
+    ~80 us at 1080p (tools/sweep_probe.py): K tails collapse to
+    ceil(K / g) launches. The reference's only analog is K full
+    relaunch loops (/root/reference/src/cvp/cannyEdgeH.cu:297-338)."""
+    g, h, w = threshs.shape
+    stride = _section_stride(h)
+    tall = jnp.pad(threshs, ((0, 0), (0, stride - h), (0, 0))).reshape(
+        g * stride, w
+    )
+    out = hysteresis_fused(
+        tall,
+        max_iters=max_iters,
+        dilate_steps=dilate_steps,
+        scan_after=scan_after,
+        interpret=interpret,
+        log_shape=(h, w),
+    )
+    return out.reshape(g, stride, w)[:, :h, :]
