@@ -39,7 +39,6 @@ class ShardedCannyEngine(ThresholdControls):
         config: CannyConfig,
         mesh: Optional[Mesh] = None,
         backend: Optional[str] = None,
-        hysteresis_halo: Optional[int] = None,
     ) -> None:
         self._cfg = config
         self._mesh = mesh if mesh is not None else make_mesh()
@@ -51,7 +50,6 @@ class ShardedCannyEngine(ThresholdControls):
         if backend not in ("xla", "pallas"):
             raise ValueError("backend must be 'auto', 'xla' or 'pallas'")
         self._backend = backend
-        self._hh = hysteresis_halo
         self._init_thresholds(config)
         self._fns: Dict[CannyStage, object] = {}
         log.info(
@@ -82,7 +80,6 @@ class ShardedCannyEngine(ThresholdControls):
                 self._cfg,
                 self._mesh,
                 final_stage=stage,
-                hysteresis_halo=self._hh,
                 backend=self._backend,
             )
             self._fns[stage] = fn

@@ -372,15 +372,23 @@ def _make_ops(h: int, w: int, dilate_steps: int,
     return dilates, scans
 
 
-def hysteresis_packed(
-    thresh: jnp.ndarray,
-    max_iters: int = 100,
-    remove_candidates: bool = True,
-    return_iters: bool = False,
+def converge_packed(
+    f: jnp.ndarray,
+    p: jnp.ndarray,
+    h: int,
+    w: int,
     dilate_steps: int = 16,
     scan_after: int = 10,
+    max_iters: int = 100,
+    carry_every: int = _CARRY_EVERY,
+    shifts=None,
 ):
-    """Global hysteresis fixed point of a (H, W) uint8 threshold map.
+    """Run BOTH convergence phases directly on pre-packed (FINAL,
+    CANDIDATE) planes; returns ``(f_fix, iters, growing)`` where
+    ``growing`` is True iff the loop exited at the ``max_iters`` cap while
+    the state was still changing (the caller's signal that the fixed point
+    was NOT reached — the sharded round loop keys on it,
+    parallel/packed_halo.py).
 
     Two escalating phases (two sequential while_loops — no data-dependent
     branching inside a loop body, which XLA:TPU handles poorly):
@@ -392,16 +400,16 @@ def hysteresis_packed(
        runs), rounds escalate to dilations + the 8-direction carry-lookahead
        scans, which promote whole monotone runs at once.
 
-    ``max_iters`` caps total rounds — the reference's 100-relaunch safety
-    belt (cannyEdgeH.cu:313); one phase-1 round covers >= dilate_steps
-    pixels of propagation, a phase-2 round additionally any monotone run.
-    Like the reference (which always launches once before reading the
-    flag), at least ONE round runs: max_iters=0 still propagates up to
-    dilate_steps pixels.
+    ``h``/``w`` are the schedule extents (the logical frame dims — they
+    size the doubling-step sequences); the planes may be larger
+    (guard-ringed layouts: extra all-zero rows/lanes shift through as
+    exact zero fill). ``shifts`` injects backend shift primitives exactly
+    as in :func:`_make_ops`. This IS the one round schedule every backend
+    executes (CLAUDE.md invariant).
     """
-    h, w = thresh.shape
-    f, p = pack_pair(thresh)
-    dilates, scans = _make_ops(h, w, dilate_steps)
+    dilates, scans = _make_ops(
+        h, w, dilate_steps, carry_every=carry_every, shifts=shifts
+    )
 
     def count(f):
         return jnp.sum(jax.lax.population_count(f), dtype=jnp.int32)
@@ -433,7 +441,36 @@ def hysteresis_packed(
         return nf, cur, count(nf), it + 1
 
     # Entered only if phase 1 hit its round cap while still growing.
-    f_fix, _, _, iters = jax.lax.while_loop(cond2, body2, state)
+    f_fix, prev, cur, iters = jax.lax.while_loop(cond2, body2, state)
+    return f_fix, iters, cur > prev
+
+
+def hysteresis_packed(
+    thresh: jnp.ndarray,
+    max_iters: int = 100,
+    remove_candidates: bool = True,
+    return_iters: bool = False,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+):
+    """Global hysteresis fixed point of a (H, W) uint8 threshold map:
+    pack both masks, run :func:`converge_packed`'s two escalating phases,
+    unpack.
+
+    ``max_iters`` caps total rounds — the reference's 100-relaunch safety
+    belt (cannyEdgeH.cu:313); one phase-1 round covers >= dilate_steps
+    pixels of propagation, a phase-2 round additionally any monotone run.
+    Like the reference (which always launches once before reading the
+    flag), at least ONE round runs: max_iters=0 still propagates up to
+    dilate_steps pixels.
+    """
+    h, w = thresh.shape
+    f, p = pack_pair(thresh)
+    f_fix, iters, _ = converge_packed(
+        f, p, h, w,
+        dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters,
+    )
 
     reached = unpack_mask(f_fix, h)
     if remove_candidates:

@@ -221,8 +221,11 @@ def threshold_sweep_pallas(
     h, w = kg.shape
     g = _sweep_group_size(k, h, w)
     if g <= 1:
-        # Frame too large for the stacked kernel (e.g. 8K sweeps): the
-        # tails dispatch per pair through _hyster's usual size policy.
+        # Section STACKING doesn't pay here: either only one section fits
+        # the stacked kernel's packed-plane budget (g == 1, e.g. 4K — the
+        # tails still run the solo fused kernel, one launch each), or the
+        # frame doesn't fit the fused kernel at all (8K — _hyster falls
+        # to the chunked XLA loop). Tails dispatch per pair via lax.map.
         def tail(pair):
             lo, hi = pair
             return _hyster(thresh_map(lo, hi), cfg, interpret)

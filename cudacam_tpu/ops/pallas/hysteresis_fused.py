@@ -337,11 +337,11 @@ def hysteresis_fused(
 
     Any frame shape within :func:`fused_ok`'s VMEM budget works:
     off-granule shapes are zero-padded to the DMA granules (exact — pad
-    cells are absorbing NO_EDGE) and sliced back, which is what lets the
-    sharded pipeline's halo-extended tiles run through this kernel
-    (parallel/sharded.fused_local_saturate). ``remove_candidates=False``
-    (the sharded round loop's contract: candidates survive for the next
-    exchange) is one elementwise blend after the kernel.
+    cells are absorbing NO_EDGE) and sliced back.
+    ``remove_candidates=False`` (candidates survive in the output) is one
+    elementwise blend after the kernel. (The sharded round loop no longer
+    routes through this u8-domain entry point — it carries packed planes
+    and uses :func:`saturate_packed` instead.)
 
     ``log_shape`` overrides the schedule extents fed to
     ``bitpack._make_ops`` (default: the input's own shape). The batched
@@ -367,6 +367,137 @@ def hysteresis_fused(
     if return_iters:
         return out, flags[0, 0]
     return out
+
+
+def _sat_kernel(
+    f_hbm,
+    p_hbm,
+    fout_hbm,
+    flags_ref,
+    f_ref,
+    p_ref,
+    sems,
+    *,
+    log_h: int,
+    log_w: int,
+    hwp: int,
+    wp: int,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+):
+    cp_f = pltpu.make_async_copy(f_hbm, f_ref, sems.at[0])
+    cp_p = pltpu.make_async_copy(p_hbm, p_ref, sems.at[1])
+    cp_f.start()
+    cp_p.start()
+    cp_f.wait()
+    cp_p.wait()
+
+    dilates, scans = bitpack._make_ops(
+        log_h, log_w, dilate_steps, carry_every=carry_every,
+        shifts=_make_pl_shifts(hwp, wp),
+    )
+    p = p_ref[:, :]
+
+    def rounder(op):
+        def round_once(carry):
+            it, _ = carry
+            f = f_ref[:, :]
+            nf = op(f, p)
+            f_ref[:, :] = nf
+            return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+        return round_once
+
+    round1 = rounder(dilates)
+    round2 = rounder(lambda f, p: scans(dilates(f, p), p))
+
+    # bitpack.converge_packed's two phases, identically counted: one
+    # unconditional phase-1 round, dilation rounds to min(scan_after,
+    # max_iters), escalated rounds to max_iters.
+    cap1 = min(scan_after, max_iters)
+    it, changed = round1((jnp.int32(0), jnp.int32(0)))
+    it, changed = jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+    )
+    it, changed = jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < max_iters), round2, (it, changed)
+    )
+    flags_ref[0, 0] = it
+    flags_ref[0, 1] = changed
+
+    cp_out = pltpu.make_async_copy(f_ref, fout_hbm, sems.at[0])
+    cp_out.start()
+    cp_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "log_h", "log_w", "dilate_steps", "scan_after", "max_iters",
+        "carry_every", "interpret",
+    ),
+)
+def saturate_packed(
+    f: jnp.ndarray,
+    p: jnp.ndarray,
+    log_h: int,
+    log_w: int,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    carry_every: int = bitpack._CARRY_EVERY,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local saturation directly on pre-packed guard-ringed planes —
+    the Pallas form of ``bitpack.converge_packed`` (same two phases, same
+    factory schedule), used as the sharded round loop's local operator
+    (parallel/packed_halo.packed_hysteresis_loop): the planes stay the
+    carried loop state across collective rounds, so no per-round
+    pack/unpack and no u8 tile round trips. Returns
+    ``(f_converged, growing)``; ``growing`` is True iff the cap truncated
+    before the local fixed point.
+
+    Layout contract (packed_halo module docstring): (hwp, wp) u32 planes
+    whose rows/lanes past the extended tile are permanent zeros — the
+    guard ring this kernel's roll shifts wrap into. ``log_h``/``log_w``
+    are the schedule extents (the extended tile's pixel dims)."""
+    hwp, wp = f.shape
+    kern = functools.partial(
+        _sat_kernel,
+        log_h=log_h, log_w=log_w, hwp=hwp, wp=wp,
+        dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    fout, flags = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hwp, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,  # the output leaves via manual DMA
+        ),
+        interpret=interpret,
+    )(f, p)
+    return fout, flags[0, 1] == 1
 
 
 def _section_stride(h: int) -> int:

@@ -144,6 +144,7 @@ def _unpack_out(f_ref, outbuf, osems, out_hbm, h: int, w: int, n_words: int):
 def _kernel(
     lo_ref,
     hi_ref,
+    origin_ref,
     frame_hbm,
     out_hbm,
     flags_ref,
@@ -162,6 +163,10 @@ def _kernel(
     wp: int,
     h: int,
     w: int,
+    img_h: int,
+    img_w: int,
+    ring: int,
+    export_only: bool,
     kernel_size: int,
     grad_coeff: int,
     norm: str,
@@ -183,8 +188,12 @@ def _kernel(
     )
 
     # ---- feed-forward chain to THRESH on the slab (shared stage math) ----
+    # (img_h, img_w) + origin pin zero-padding to the GLOBAL image border:
+    # for the unsharded path they equal (h, w) with origin 0; for a
+    # sharded halo-extended tile they are the global frame dims and the
+    # tile's global offset (parallel/sharded.py).
     valid = ff._valid_mask_i32(
-        i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
+        i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
     )
     thresh = ff._stage_chain(
         mono, valid, lo_ref[0], hi_ref[0],
@@ -201,6 +210,19 @@ def _kernel(
     # whole-core packs land zeros in every pad/guard position for free.
     # sw - PAD_C == w + 128 == wp exactly when w % 128 == 0 (mega_ok).
     core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
+    if ring:
+        # Sharded tiles: zero the POLLUTION ring — positions within
+        # ``ring`` (= the feed-forward stencil halo) of the extended
+        # tile's edge read zero-filled slab cells where the true image
+        # has neighbor pixels beyond the exchanged halo, so their stage
+        # outputs are junk there (exact only at global borders, which
+        # the valid mask already zeroed). Same 1-D outer-product shape
+        # as the valid mask; also re-zeros the guard lanes [ext_w, wp).
+        rr = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+        rok = ((rr >= ring) & (rr < h - ring)).astype(jnp.int32)
+        cok = ((cc >= ring) & (cc < w - ring)).astype(jnp.int32)
+        core = core * (rok * cok)
     io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
     fw = jnp.sum(
         (core == FINAL_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
@@ -256,7 +278,18 @@ def _kernel(
         flags_ref[0, 0] = it
         flags_ref[0, 1] = changed
 
-        if scan_after >= max_iters:
+        if export_only:
+            # Sharded mode: the packed planes ARE the product (the
+            # collective round loop carries them as state,
+            # parallel/packed_halo.py); the edge map is unpacked only at
+            # global convergence by a separate kernel. Always export.
+            cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
+            cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
+            cp_f.start()
+            cp_p.start()
+            cp_f.wait()
+            cp_p.wait()
+        elif scan_after >= max_iters:
             # The cap IS phase 1 (cap1 == max_iters): the exit state is
             # always final — converged or cap-TRUNCATED, the same monotone
             # under-approximation every backend returns at this config
@@ -329,8 +362,47 @@ def canny_mega(
         bh = block_h
         n_blocks = -(-h // bh)
         hwp = n_blocks * (bh // 32) + 1
+    return _mega_call(
+        frame_planar, low, high, None,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        img_h=h, img_w=w, ring=0, export_only=False,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every, interpret=interpret,
+    )
+
+
+def _mega_call(
+    frame_planar,
+    low,
+    high,
+    origin,
+    *,
+    bh: int,
+    n_blocks: int,
+    hwp: int,
+    wp: int,
+    h: int,
+    w: int,
+    img_h: int,
+    img_w: int,
+    ring: int,
+    export_only: bool,
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+    interpret: bool,
+):
+    gray = frame_planar.ndim == 2
     sw = ff._slab_w(w)
-    ch_rows = 128
+    # Export mode never unpacks: shrink the (otherwise unused) output
+    # staging buffer to its minimum.
+    ch_rows = 8 if export_only else 128
     slab_shape = (
         (2, bh + 2 * ff.PAD_R, sw) if gray
         else (2, 3, bh + 2 * ff.PAD_R, sw)
@@ -338,12 +410,13 @@ def canny_mega(
     kern = functools.partial(
         _kernel,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        img_h=img_h, img_w=img_w, ring=ring, export_only=export_only,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # low, high
+        num_scalar_prefetch=3,  # low, high, origin
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
@@ -361,11 +434,18 @@ def canny_mega(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    if origin is None:
+        origin_arr = jnp.zeros((2,), jnp.int32)
+    else:
+        origin_arr = jnp.stack([
+            jnp.asarray(origin[0], jnp.int32),
+            jnp.asarray(origin[1], jnp.int32),
+        ])
     out, flags, fpack, ppack = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((8 if export_only else h, w), jnp.uint8),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
             jax.ShapeDtypeStruct((hwp, wp), jnp.uint32),
             jax.ShapeDtypeStruct((hwp, wp), jnp.uint32),
@@ -379,9 +459,153 @@ def canny_mega(
     )(
         jnp.asarray(low, jnp.int32).reshape(1),
         jnp.asarray(high, jnp.int32).reshape(1),
+        origin_arr,
         frame_planar,
     )
     return out, flags, fpack, ppack
+
+
+def mega_export_geometry(ext_h: int, ext_w: int):
+    """(bh, n_blocks, hwp, wp) for the sharded export-mode megakernel on
+    an extended (ext_h, ext_w) tile, or None when the tile is out of
+    budget or off-granule (callers fall back to the XLA packed path)."""
+    return _mega_geometry(ext_h, ext_w)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "grad_coeff", "norm", "parity", "dilate_steps",
+        "scan_after", "max_iters", "ring", "image_size", "interpret",
+    ),
+)
+def canny_mega_export(
+    frame_ext: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    origin,
+    image_size: Tuple[int, int],
+    ring: int,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sharded-tile megakernel: raw halo-EXTENDED planar BGR (3, Eh, Ew)
+    (or grayscale (Eh, Ew)) tile in — packed (FINAL, CANDIDATE) planes +
+    phase-1 flags out, in ONE launch. The feed-forward chain, the
+    threshold pack (with the pollution ring of width ``ring`` zeroed and
+    zero-padding pinned to the global image via ``origin``/``image_size``)
+    and the phase-1 dilation rounds to the LOCAL fixed point all run
+    in-kernel; nothing is unpacked — the planes are the collective round
+    loop's carried state (parallel/packed_halo.py). Returns
+    (fpack, ppack, flags); flags[0, 1] == 1 means the local phase-1 budget
+    truncated before the local fixed point (the loop's still-growing
+    input). Replaces, for the sharded path, the reference's per-tile
+    shared-memory iteration + host relaunch + halo reload through global
+    memory (cannyEdgeD.cu:295-377; cannyEdgeH.cu:297-338)."""
+    eh, ew = frame_ext.shape[-2:]
+    geo = _mega_geometry(eh, ew)
+    assert geo is not None, "caller must check mega_export_geometry()"
+    bh, n_blocks, hwp, wp = geo
+    _, flags, fpack, ppack = _mega_call(
+        frame_ext, low, high, origin,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=eh, w=ew,
+        img_h=image_size[0], img_w=image_size[1], ring=ring,
+        export_only=True,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=bitpack._CARRY_EVERY,
+        interpret=interpret,
+    )
+    return fpack, ppack, flags
+
+
+def _unpack_core_kernel(
+    f_hbm,
+    out_hbm,
+    f_ref,
+    outbuf,
+    sems,
+    osems,
+    *,
+    hwp: int,
+    wp: int,
+    e_top: int,
+    e_left: int,
+    h_loc: int,
+    w_loc: int,
+):
+    cp = pltpu.make_async_copy(f_hbm, f_ref, sems.at[0])
+    cp.start()
+    cp.wait()
+    shifts = hfz._make_pl_shifts(hwp, wp)
+    f = shifts[1](f_ref[:, :], -e_top)  # core row 0 -> bit 0
+    if e_left:
+        f = pltpu.roll(f, wp - e_left, 1)  # core col 0 -> lane 0
+    f_ref[:, :] = f
+    # Emit on the DMA granules (h_loc/w_loc are arbitrary for sharded
+    # tiles); rows/lanes past the core carry halo state and are sliced
+    # off by the caller.
+    _unpack_out(
+        f_ref, outbuf, osems, out_hbm, out_hbm.shape[0], out_hbm.shape[1],
+        min(-(-out_hbm.shape[0] // 32), hwp),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("e_top", "e_left", "h_loc", "w_loc", "interpret"),
+)
+def unpack_core_call(
+    fpack: jnp.ndarray,
+    e_top: int,
+    e_left: int,
+    h_loc: int,
+    w_loc: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Unpack the owned core of a converged extended-grid FINAL plane into
+    the final (h_loc, w_loc) uint8 edge map (FINAL where the bit is set,
+    NO_EDGE otherwise — removeCandidates semantics, cannyEdgeD.cu:379-395,
+    are inherent to the packed representation). One small kernel: bit-align
+    the core (one packed-pixel shift + one lane roll), then the shared
+    unpack + manual output DMA."""
+    hwp, wp = fpack.shape
+    # Granule-padded emission (8-row DMA chunks, 128-lane rows); rows and
+    # lanes past the core hold halo state — sliced off below.
+    h_pad = ((h_loc + 7) // 8) * 8
+    w_pad = min(((w_loc + 127) // 128) * 128, wp)
+    ch_rows = 128 if h_pad > 128 else ((h_pad + 31) // 32) * 32
+    kern = functools.partial(
+        _unpack_core_kernel,
+        hwp=hwp, wp=wp, e_top=e_top, e_left=e_left,
+        h_loc=h_loc, w_loc=w_loc,
+    )
+    (out,) = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((h_pad, w_pad), jnp.uint8)],
+        scratch_shapes=[
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((2, ch_rows, w_pad), jnp.uint8),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            has_side_effects=True,  # the output leaves via manual DMA
+        ),
+        interpret=interpret,
+    )(fpack)
+    return out[:h_loc, :w_loc]
 
 
 def _cont_kernel(

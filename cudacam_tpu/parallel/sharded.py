@@ -10,49 +10,67 @@ and of its host-coordinated hysteresis relaunch loop (cannyEdgeH.cu:297-338):
   neighbor shards via ``jax.lax.ppermute`` (ICI neighbor exchange; missing
   neighbors arrive as zeros, which IS the reference's zero-padding semantics,
   cannyEdgeD.cu:91-98);
-- the whole mono->threshold chain runs on a once-extended tile (the total
-  stencil halo is kernel_size//2 + 2), so there is ONE halo exchange for all
-  feed-forward stages, not one per stage;
-- hysteresis runs as a global ``lax.while_loop``: each round saturates the
-  halo-extended tile to its LOCAL fixed point with an injectable operator
-  (default: the bit-packed loop of ops/bitpack.py — the same implementation
-  every single-chip backend runs), then reduces a convergence flag with
-  ``psum`` over all mesh axes — the TPU-native replacement for the
-  reference's per-iteration device->host flag readback
-  (cannyEdgeH.cu:310,322). Collective rounds are bounded by the
-  cross-shard edge diameter, not the pixel diameter.
+- the whole mono->threshold chain runs on a once-extended tile, so there is
+  ONE halo exchange for all feed-forward stages, not one per stage;
+- hysteresis converges on BIT-PACKED planes (ops/bitpack.py's layout) that
+  stay the carried state across collective rounds
+  (parallel/packed_halo.py): pack happens once per frame — on the Pallas
+  backend *inside* the feed-forward megakernel
+  (megakernel.canny_mega_export: raw planar tile in, packed planes out, one
+  launch) — each round exchanges packed strips (1 word-row / 64 u32 lanes
+  per side, ~1/8th the bytes of u8 halos) and runs an injectable local
+  saturate (``bitpack.converge_packed`` as XLA ops or the fused Pallas
+  kernel ``hysteresis_fused.saturate_packed`` — the ONE shared
+  ``bitpack._make_ops`` round schedule either way), and a ``psum``'d
+  convergence flag replaces the reference's per-iteration device->host
+  flag readback (cannyEdgeH.cu:310,322). Unpack happens once, at global
+  convergence. Collective rounds are bounded by the cross-shard edge
+  diameter, not the pixel diameter.
 
 Correctness note (pollution depth): running the zero-padding single-chip ops
 on a tile extended by the *total* halo H yields exact values in the core,
 because stage k's output at extended-row r is exact for r >= (sum of stage
-halos up to k), which is <= H at the final pre-hysteresis stage.
+halos up to k), which is <= H at the final pre-hysteresis stage. The Pallas
+path computes the feed-forward over the DEEPER hysteresis extension and
+zeroes the polluted outer ring in-kernel (megakernel ``ring`` mask), which
+additionally pre-populates the halo slots with exact neighbor state.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from cudacam_tpu.config import CannyConfig
-from cudacam_tpu.ops import xla_ops
-from cudacam_tpu.parallel.mesh import BATCH_AXIS, COL_AXIS, ROW_AXIS
-from cudacam_tpu.stages import CANDIDATE_EDGE, FINAL_EDGE, NO_EDGE, CannyStage
+from cudacam_tpu.ops import bitpack, xla_ops
+from cudacam_tpu.parallel.mesh import AXES, BATCH_AXIS, COL_AXIS, ROW_AXIS
+from cudacam_tpu.parallel.packed_halo import (
+    PackedGeo,
+    make_geo,
+    packed_hysteresis_loop,
+)
+from cudacam_tpu.stages import FINAL_EDGE, NO_EDGE, CannyStage
 
 shard_map = jax.shard_map
 
 
-def _exchange_halo(x: jnp.ndarray, h: int, axis: int, axis_name: str, n: int) -> jnp.ndarray:
-    """Extend local tile along ``axis`` with ``h`` rows/cols from both mesh
-    neighbors on ``axis_name``. Boundary shards receive zeros (= the global
-    zero padding of the reference's tile fill)."""
-    if n == 1 or h == 0:
-        # Single shard on this axis: zero-pad directly (global border).
+def _exchange_halo(
+    x: jnp.ndarray, lo: int, hi: int, axis: int, axis_name: str, n: int
+) -> jnp.ndarray:
+    """Extend local tile along ``axis`` with ``lo`` rows/cols before and
+    ``hi`` after, fetched from the mesh neighbors on ``axis_name``.
+    Boundary shards receive zeros (= the global zero padding of the
+    reference's tile fill). ``lo``/``hi`` must not exceed the local tile
+    extent (a shard can only export what it owns)."""
+    if n == 1 or (lo == 0 and hi == 0):
         pad = [(0, 0)] * x.ndim
-        pad[axis] = (h, h)
+        pad[axis] = (lo, hi)
         return jnp.pad(x, pad)
     down = [(i, i + 1) for i in range(n - 1)]  # shard i -> i+1
     up = [(i + 1, i) for i in range(n - 1)]  # shard i+1 -> i
@@ -62,9 +80,14 @@ def _exchange_halo(x: jnp.ndarray, h: int, axis: int, axis_name: str, n: int) ->
         idx[axis] = slice(start, stop)
         return x[tuple(idx)]
 
-    top = jax.lax.ppermute(take(-h, None), axis_name, down)  # my top halo = upper neighbor's bottom
-    bottom = jax.lax.ppermute(take(None, h), axis_name, up)  # my bottom halo = lower neighbor's top
-    return jnp.concatenate([top, x, bottom], axis=axis)
+    parts = []
+    if lo:
+        # my leading halo = upper neighbor's trailing rows
+        parts.append(jax.lax.ppermute(take(-lo, None), axis_name, down))
+    parts.append(x)
+    if hi:
+        parts.append(jax.lax.ppermute(take(None, hi), axis_name, up))
+    return jnp.concatenate(parts, axis=axis)
 
 
 def _trim(x: jnp.ndarray, h: int, axes: tuple[int, ...]) -> jnp.ndarray:
@@ -74,57 +97,41 @@ def _trim(x: jnp.ndarray, h: int, axes: tuple[int, ...]) -> jnp.ndarray:
     return x[tuple(idx)]
 
 
-def default_local_saturate(cfg: CannyConfig) -> Callable:
-    """The production local-saturation operator for sharded hysteresis: the
-    bit-packed convergence loop (ops/bitpack.py) run to the LOCAL fixed
-    point of the halo-extended tile, candidates preserved for the next
-    exchange round. Pure jnp — identical code on CPU virtual meshes, a real
-    TPU slice, and a multi-process pod."""
-    from cudacam_tpu.ops.bitpack import hysteresis_packed
+def xla_packed_saturate(cfg: CannyConfig, geo: PackedGeo) -> Callable:
+    """The portable local-saturation operator for the packed round loop:
+    ``bitpack.converge_packed`` (both escalating phases of the ONE shared
+    round schedule) directly on the carried planes. Pure jnp — identical
+    code on CPU virtual meshes, a real TPU slice, and a multi-process
+    pod."""
 
-    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
-        return hysteresis_packed(
-            t_ext,
-            max_iters=cfg.max_hysteresis_iters,
-            remove_candidates=False,
+    def saturate(f, p):
+        nf, _, growing = bitpack.converge_packed(
+            f, p, geo.ext_h, geo.ext_w,
             dilate_steps=cfg.hysteresis_inner_steps,
             scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters,
         )
+        return nf, growing
 
     return saturate
 
 
-def fused_local_saturate(cfg: CannyConfig) -> Callable:
-    """Local-saturation operator backed by the fused Pallas hysteresis
-    kernel (ops/pallas/hysteresis_fused.py) — the pallas backend's default.
-    The kernel pads halo-extended tiles to its DMA granules internally and
-    runs the SAME round schedule as the packed loop, so swapping operators
-    never changes the converged result (and matches truncation too)."""
-    from cudacam_tpu.ops.pallas.hysteresis_fused import hysteresis_fused
+def pallas_packed_saturate(
+    cfg: CannyConfig, geo: PackedGeo, interpret: bool = False
+) -> Callable:
+    """The Pallas local-saturation operator: the whole two-phase
+    convergence in ONE kernel on the VMEM-resident planes
+    (hysteresis_fused.saturate_packed) — same factory schedule, so
+    swapping operators never changes the converged result."""
+    from cudacam_tpu.ops.pallas.hysteresis_fused import saturate_packed
 
-    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
-        return hysteresis_fused(
-            t_ext,
-            max_iters=cfg.max_hysteresis_iters,
-            remove_candidates=False,
+    def saturate(f, p):
+        return saturate_packed(
+            f, p, geo.ext_h, geo.ext_w,
             dilate_steps=cfg.hysteresis_inner_steps,
             scan_after=cfg.hysteresis_scan_after,
-        )
-
-    return saturate
-
-
-def sweep_kernel_local_saturate(cfg: CannyConfig) -> Callable:
-    """Alternative saturation operator: the Pallas sequential-sweep kernel
-    (ops/pallas/hysteresis.py; real TPU only). Injectable via
-    ``build_sharded_pipeline(..., local_saturate=...)`` — the round-loop
-    composition around it is the same one the virtual-mesh tests execute
-    with the packed/oracle stand-ins (tests/test_sharded.py)."""
-    from cudacam_tpu.ops.pallas.hysteresis import hysteresis_pallas
-
-    def saturate(t_ext: jnp.ndarray) -> jnp.ndarray:
-        return hysteresis_pallas(
-            t_ext, max_iters=cfg.max_hysteresis_iters, remove_candidates=False
+            max_iters=cfg.max_hysteresis_iters,
+            interpret=interpret,
         )
 
     return saturate
@@ -134,7 +141,6 @@ def build_sharded_pipeline(
     cfg: CannyConfig,
     mesh: Mesh,
     final_stage: CannyStage = CannyStage.HYSTER,
-    hysteresis_halo: Optional[int] = None,
     backend: str = "xla",
     local_saturate: Optional[Callable] = None,
 ) -> Callable:
@@ -142,18 +148,13 @@ def build_sharded_pipeline(
     ``mesh``. ``frame`` is (B, H, W[, C]) uint8 with B % mesh('b') == 0,
     H % mesh('y') == 0, W % mesh('x') == 0.
 
-    ``hysteresis_halo`` rows/cols of edge state are exchanged per convergence
-    round (defaults to cfg.hysteresis_inner_steps so cross-shard propagation
-    keeps pace with local propagation).
-
-    ``backend='pallas'`` (real TPU meshes) runs each shard's local
-    feed-forward through the fused Pallas kernel, consuming the
-    halo-extended tile with its global origin pinned (so zero-padding
-    applies at the GLOBAL image border). 'xla' is the portable default
-    (virtual CPU meshes, the driver dry-run). Hysteresis uses the same
-    round loop on both backends with ``local_saturate`` as the injectable
-    local operator (default: default_local_saturate — bit-packed, portable;
-    sweep_kernel_local_saturate is the Pallas-sweep alternative).
+    ``backend='pallas'`` (real TPU meshes) runs each shard through the
+    export-mode megakernel (raw planar halo-extended tile -> packed planes,
+    one launch, zero XLA pre-passes) and the fused Pallas saturate;
+    'xla' is the portable default (virtual CPU meshes, the driver dry-run).
+    Both run the same packed round loop (parallel/packed_halo.py) with
+    ``local_saturate`` as the injectable ``(f, p) -> (f, growing)``
+    operator (default: the backend's packed saturate above).
     """
     if backend not in ("xla", "pallas"):
         raise ValueError("backend must be 'xla' or 'pallas'")
@@ -170,33 +171,56 @@ def build_sharded_pipeline(
         raise ValueError(
             f"stencil halo {halo} exceeds local tile {h_loc}x{w_loc}; use fewer shards"
         )
-    hh = hysteresis_halo if hysteresis_halo is not None else cfg.hysteresis_inner_steps
-    # A shard can only export state it owns: cap the exchange halo at the
-    # local tile size (propagation speed across shards is hh px per round).
-    hh = max(1, min(hh, h_loc, w_loc))
+
+    # --- hysteresis state geometry (packed_halo module docstring) ---------
+    # The Pallas path computes feed-forward + pack + phase-1 in ONE
+    # megakernel over the granule-padded extension; it needs the extension
+    # depths (<= 39 rows / 191 cols) to fit the neighbor tile, and the
+    # packed planes to fit the kernel's VMEM budget. Everything else uses
+    # the minimal extension with the XLA packed ops.
+    use_mega = False
+    mega_geo = None
+    if backend == "pallas" and final_stage == CannyStage.HYSTER:
+        from cudacam_tpu.ops.pallas.megakernel import mega_export_geometry
+
+        g = make_geo(h_loc, w_loc, granule=True)
+        if h_loc >= max(40, g.e_bot) and w_loc >= max(192, g.e_right):
+            mg = mega_export_geometry(g.ext_h, g.ext_w)
+            if mg is not None:
+                use_mega = True
+                _, _, hwp, wp = mg
+                mega_geo = dataclasses.replace(
+                    g, plane_rows=hwp, plane_lanes=wp
+                )
+    geo = mega_geo if use_mega else make_geo(h_loc, w_loc, granule=False)
+
     if local_saturate is not None:
         saturate = local_saturate
-    elif backend == "pallas":
-        from cudacam_tpu.ops.pallas.hysteresis_fused import fused_ok
-
-        ext_h, ext_w = h_loc + 2 * hh, w_loc + 2 * hh
-        saturate = (
-            fused_local_saturate(cfg)
-            if fused_ok(ext_h, ext_w)
-            else default_local_saturate(cfg)
-        )
+    elif use_mega:
+        saturate = pallas_packed_saturate(cfg, geo)
     else:
-        saturate = default_local_saturate(cfg)
+        saturate = xla_packed_saturate(cfg, geo)
 
     has_c = cfg.channels == 3
     frame_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS, None) if has_c else P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
     out_spec = P(BATCH_AXIS, ROW_AXIS, COL_AXIS)
 
     def extend2d(x: jnp.ndarray, h: int) -> jnp.ndarray:
-        """Halo-extend a (h_loc, w_loc[, C]) tile in rows then cols (the
-        second exchange carries the corner blocks)."""
-        x = _exchange_halo(x, h, 0, ROW_AXIS, ny)
-        return _exchange_halo(x, h, 1, COL_AXIS, nx)
+        """Symmetric halo extension in rows then cols (the second exchange
+        carries the corner blocks)."""
+        x = _exchange_halo(x, h, h, 0, ROW_AXIS, ny)
+        return _exchange_halo(x, h, h, 1, COL_AXIS, nx)
+
+    def extend2d_asym(x: jnp.ndarray) -> jnp.ndarray:
+        """Halo extension to the packed-state grid (geo's asymmetric
+        depths; granule-padded on the Pallas path)."""
+        x = _exchange_halo(x, geo.e_top, geo.e_bot, 0, ROW_AXIS, ny)
+        return _exchange_halo(x, geo.e_left, geo.e_right, 1, COL_AXIS, nx)
+
+    def _origin():
+        ry = jax.lax.axis_index(ROW_AXIS)
+        rx = jax.lax.axis_index(COL_AXIS)
+        return ry * h_loc, rx * w_loc
 
     def _valid_mask(ext_h: int, ext_w: int, h: int) -> jnp.ndarray:
         """Bool mask of extended-tile positions that lie inside the *global*
@@ -205,28 +229,50 @@ def build_sharded_pipeline(
         (the ops' jnp.pad <=> the reference's tile fill, cannyEdgeD.cu:91-98):
         computing a stage on the extended tile leaves nonzero junk there
         otherwise, which the next stencil would consume."""
-        ry = jax.lax.axis_index(ROW_AXIS)
-        rx = jax.lax.axis_index(COL_AXIS)
-        row0 = ry * h_loc - h
-        col0 = rx * w_loc - h
-        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 0)
-        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 1)
+        row0, col0 = _origin()
+        rows = row0 - h + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 0)
+        cols = col0 - h + jax.lax.broadcasted_iota(jnp.int32, (ext_h, ext_w), 1)
         return (rows >= 0) & (rows < cfg.height) & (cols >= 0) & (cols < cfg.width)
 
     def local_feed_forward_pallas(tile: jnp.ndarray, low, high):
-        """Pallas path: one fused kernel over the halo-extended tile, with
-        the tile's global origin pinning border-zero semantics."""
+        """Pallas path for display stages: one fused kernel over the
+        halo-extended tile, with the tile's global origin pinning
+        border-zero semantics. Granule-eligible tiles feed the kernel the
+        RAW planar extension (zero XLA pre-passes — the asymmetric
+        extension grid is granule-padded by construction); others fall
+        back to the XLA mono pass."""
         from cudacam_tpu.ops.pallas.feedforward import feed_forward_to_stage
 
+        ff_stage = (
+            final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
+        )
+        row0, col0 = _origin()
+        g = make_geo(h_loc, w_loc, granule=True)
+        if (
+            final_stage != CannyStage.MONO
+            and h_loc >= g.e_bot and w_loc >= g.e_right
+        ):
+            ext = _exchange_halo(tile, g.e_top, g.e_bot, 0, ROW_AXIS, ny)
+            ext = _exchange_halo(ext, g.e_left, g.e_right, 1, COL_AXIS, nx)
+            out = feed_forward_to_stage(
+                jnp.transpose(ext, (2, 0, 1)) if has_c else ext,
+                low,
+                high,
+                kernel_size=cfg.kernel_size,
+                grad_coeff=cfg.grad_coeff,
+                norm=cfg.norm,
+                parity=cfg.parity,
+                out_stage=ff_stage,
+                origin=(row0 - g.e_top, col0 - g.e_left),
+                image_size=(cfg.height, cfg.width),
+            )
+            return out[
+                g.e_top : g.e_top + h_loc, g.e_left : g.e_left + w_loc
+            ]
         ext = extend2d(tile, halo)
         mono = xla_ops.rgb2mono(ext)
         if final_stage == CannyStage.MONO:
             return _trim(mono, halo, (0, 1))
-        ry = jax.lax.axis_index(ROW_AXIS)
-        rx = jax.lax.axis_index(COL_AXIS)
-        ff_stage = (
-            final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
-        )
         out = feed_forward_to_stage(
             mono,
             low,
@@ -236,7 +282,7 @@ def build_sharded_pipeline(
             norm=cfg.norm,
             parity=cfg.parity,
             out_stage=ff_stage,
-            origin=(ry * h_loc - halo, rx * w_loc - halo),
+            origin=(row0 - halo, col0 - halo),
             image_size=(cfg.height, cfg.width),
         )
         return _trim(out, halo, (0, 1))
@@ -268,46 +314,70 @@ def build_sharded_pipeline(
         thresh = xla_ops.compute_threshold_map(sum_x, sum_y, low, high, cfg)
         return _trim(thresh, halo, (0, 1))
 
-    def local_hysteresis(thresh: jnp.ndarray) -> jnp.ndarray:
-        """Sharded fixed point: each global round saturates the local
-        halo-extended tile with ``saturate`` (default: the bit-packed
-        convergence loop, ops/bitpack.py — the same implementation every
-        single-chip backend runs, so the composition that executes on a pod
-        is the one the virtual-mesh tests execute), then exchanges an
-        ``hh``-deep halo and psum-reduces a convergence flag — the
-        TPU-native replacement for the reference's per-iteration
-        device->host flag readback (cannyEdgeH.cu:310,322). Padded/invalid
-        cells are NO_EDGE, which is absorbing, and local saturation is
-        monotone toward the global fixed point, so any saturate operator
-        yields the same converged result; the operator only sets how much
-        propagation each collective round carries."""
-
-        def cond(state):
-            _, changed, it = state
-            return changed & (it < cfg.max_hysteresis_iters)
-
-        def body(state):
-            t, _, it = state
-            t_ext = extend2d(t, hh)
-            new_ext = saturate(t_ext)
-            nt = _trim(new_ext, hh, (0, 1))
-            local_changed = jnp.any(nt != t)
-            global_changed = (
-                jax.lax.psum(
-                    local_changed.astype(jnp.int32),
-                    (BATCH_AXIS, ROW_AXIS, COL_AXIS),
-                )
-                > 0
-            )
-            return nt, global_changed, it + 1
-
-        state, _, _ = jax.lax.while_loop(
-            cond, body, (thresh, jnp.bool_(True), jnp.int32(0))
+    def hyster_from_thresh(thresh: jnp.ndarray) -> jnp.ndarray:
+        """Portable packed hysteresis from a trimmed core threshold map:
+        pack ONCE into the extended grid (zero halos — the first exchange
+        populates them), run the packed collective round loop, unpack
+        ONCE. Replaces r3's per-round full-tile pack/unpack + u8 halo
+        exchange (2.27x framework overhead, VERDICT r3)."""
+        t_ext = jnp.pad(
+            thresh,
+            (
+                (geo.e_top, geo.ext_h - geo.e_top - h_loc),
+                (geo.e_left, geo.ext_w - geo.e_left - w_loc),
+            ),
         )
+        f, p = bitpack.pack_pair(t_ext)
+        pad = (
+            (0, geo.plane_rows - f.shape[0]),
+            (0, geo.plane_lanes - geo.ext_w),
+        )
+        f, p = jnp.pad(f, pad), jnp.pad(p, pad)
+        f = packed_hysteresis_loop(
+            f, p, jnp.bool_(True), geo, saturate, AXES, ny, nx,
+            cfg.max_hysteresis_iters,
+        )
+        reached = bitpack.unpack_mask(
+            f[: geo.hw, geo.e_left : geo.e_left + w_loc],
+            geo.e_top + h_loc,
+        )[geo.e_top :]
         # removeCandidates (cannyEdgeD.cu:379-395).
         return jnp.where(
-            state == FINAL_EDGE, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE)
+            reached, jnp.uint8(FINAL_EDGE), jnp.uint8(NO_EDGE)
         )
+
+    def hyster_pallas_mega(tile: jnp.ndarray, low, high) -> jnp.ndarray:
+        """The Pallas hot path: ONE megakernel launch per tile (raw planar
+        extension in, locally-phase-1-converged packed planes out), the
+        packed round loop with the fused saturate kernel, one unpack
+        kernel at convergence."""
+        from cudacam_tpu.ops.pallas.megakernel import (
+            canny_mega_export,
+            unpack_core_call,
+        )
+
+        row0, col0 = _origin()
+        ext = extend2d_asym(tile)
+        f, p, flags = canny_mega_export(
+            jnp.transpose(ext, (2, 0, 1)) if has_c else ext,
+            low,
+            high,
+            (row0 - geo.e_top, col0 - geo.e_left),
+            image_size=(cfg.height, cfg.width),
+            ring=halo,
+            kernel_size=cfg.kernel_size,
+            grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm,
+            parity=cfg.parity,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters,
+        )
+        f = packed_hysteresis_loop(
+            f, p, flags[0, 1] == 1, geo, saturate, AXES, ny, nx,
+            cfg.max_hysteresis_iters,
+        )
+        return unpack_core_call(f, geo.e_top, geo.e_left, h_loc, w_loc)
 
     @functools.partial(
         shard_map,
@@ -317,14 +387,18 @@ def build_sharded_pipeline(
         check_vma=False,
     )
     def sharded(frame, low, high):
-        ff = local_feed_forward_pallas if backend == "pallas" else local_feed_forward
-        hys = local_hysteresis
-
         def per_frame(tile):
-            out = ff(tile, low, high)
+            if final_stage == CannyStage.HYSTER and use_mega:
+                return hyster_pallas_mega(tile, low, high)
+            if final_stage != CannyStage.HYSTER and backend == "pallas":
+                return local_feed_forward_pallas(tile, low, high)
+            if backend == "pallas":
+                thresh = local_feed_forward_pallas(tile, low, high)
+            else:
+                thresh = local_feed_forward(tile, low, high)
             if final_stage == CannyStage.HYSTER:
-                out = hys(out)
-            return out
+                return hyster_from_thresh(thresh)
+            return thresh
 
         if backend == "pallas":
             # Pallas kernels use manual DMA grids that don't vectorise under

@@ -73,13 +73,23 @@ def _our_canny(frame: np.ndarray, low: int, high: int, parity: str) -> np.ndarra
 
 
 def compare_frame(
-    frame: np.ndarray, low: int = 10, high: int = 40, grad_coeff: int = 4
+    frame: np.ndarray,
+    low: int = 10,
+    high: int = 40,
+    grad_coeff: int = 4,
+    parity: str = "opencv",
 ) -> Dict[str, float]:
     """Run both pipelines on one BGR frame and score structural agreement.
 
-    Uses the framework's ``parity='opencv'`` threshold domain, so cv2's
-    thresholds are *identical numbers* — thresholds passed here are in the
-    reference's uint8 domain and mapped by 8/grad_coeff into both.
+    ``parity='opencv'`` (default) runs the framework in its opencv
+    threshold domain, so cv2's thresholds are *identical numbers* —
+    thresholds passed here are in the reference's uint8 domain and mapped
+    by 8/grad_coeff into both. ``parity='reference'`` runs the framework
+    in its DEFAULT (reference) domain with the uint8 thresholds as given —
+    the production engine configuration — against cv2 at the scaled
+    thresholds; the reference domain's ``(coeff*sqrt(m))>>3`` truncation
+    makes its effective thresholds slightly coarser, so floors are a
+    little looser there.
     """
     import cv2
     import jax.numpy as jnp
@@ -88,7 +98,10 @@ def compare_frame(
 
     scale = 8.0 / grad_coeff
     cv_low, cv_high = int(low * scale), int(high * scale)
-    ours = _our_canny(frame, cv_low, cv_high, parity="opencv")
+    if parity == "reference":
+        ours = _our_canny(frame, low, high, parity="reference")
+    else:
+        ours = _our_canny(frame, cv_low, cv_high, parity="opencv")
     # cv2 on the same observable: OUR fixed-point gray + OUR integer blur
     # (cv2.Canny does not blur internally), so the comparison isolates
     # NMS/hysteresis differences only.

@@ -106,3 +106,73 @@ class TestFusedParity:
         t[1:500, 4] = 128
         t[1, 4] = 255
         self._check(t, dilate_steps=4, scan_after=2)
+
+
+@pytest.mark.slow
+class TestBatchedSections:
+    """hysteresis_fused_batched's hardest claim (ADVICE r3): stacked
+    sections of DIFFERENT convergence depths share global round indices,
+    so each section is bit-identical to a solo run *including under cap
+    truncation* — rounds run until the slowest section converges, and a
+    converged section sits at its absorbing fixed point through the extra
+    rounds."""
+
+    def _sections(self):
+        rng = np.random.default_rng(11)
+        fast = rng.choice(
+            [0, 128, 255], size=(64, 256), p=[0.6, 0.3, 0.1]
+        ).astype(np.uint8)  # converges in a couple of rounds
+        slow = make_spiral_thresh(64, 256)  # single long chain
+        return fast, slow
+
+    @pytest.mark.parametrize("max_iters", [2, 5, 100])
+    def test_cap_parity_with_solo_runs(self, max_iters):
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            hysteresis_fused_batched,
+        )
+
+        fast, slow = self._sections()
+        kw = dict(max_iters=max_iters, dilate_steps=4, scan_after=2)
+        got = np.asarray(hysteresis_fused_batched(
+            jnp.stack([jnp.asarray(fast), jnp.asarray(slow)]),
+            interpret=True, **kw,
+        ))
+        for i, t in enumerate((fast, slow)):
+            solo_fused = np.asarray(
+                hysteresis_fused(jnp.asarray(t), interpret=True, **kw)
+            )
+            solo_packed = np.asarray(_hp(jnp.asarray(t), **kw))
+            np.testing.assert_array_equal(got[i], solo_fused)
+            np.testing.assert_array_equal(got[i], solo_packed)
+
+
+@pytest.mark.slow
+class TestSweepMultiGroup:
+    """threshold_sweep_pallas' multi-group path (ADVICE r3): a K that does
+    not divide into one stacked launch must split into several
+    duplicate-padded groups and still match the XLA sweep bit-for-bit."""
+
+    def test_non_divisible_k_groups(self, monkeypatch):
+        from cudacam_tpu.config import CannyConfig
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas import canny as pl_canny
+
+        rng = np.random.default_rng(3)
+        frame = rng.integers(0, 255, size=(64, 256, 3), dtype=np.uint8)
+        cfg = CannyConfig(height=64, width=256)
+        lows = np.array([5, 10, 20, 30, 40], np.int32)
+        highs = np.array([40, 50, 60, 80, 90], np.int32)
+        # Force 3 groups of 2 (K=5 pads a duplicate of the last pair).
+        monkeypatch.setattr(
+            pl_canny, "_sweep_group_size", lambda k, h, w: 2
+        )
+        maps, counts = pl_canny.threshold_sweep_pallas(
+            jnp.asarray(frame), lows, highs, cfg, interpret=True
+        )
+        want_maps, want_counts = xla_ops.threshold_sweep(
+            jnp.asarray(frame), jnp.asarray(lows), jnp.asarray(highs), cfg
+        )
+        np.testing.assert_array_equal(np.asarray(maps), np.asarray(want_maps))
+        np.testing.assert_array_equal(
+            np.asarray(counts), np.asarray(want_counts)
+        )

@@ -64,19 +64,29 @@ def test_alternate_thresholds_hold():
 
 _BASE = os.path.join(_DATA, "ytbase.png")
 _PAIR_GRID = [(10, 40), (20, 60), (30, 90)]
-# Floors per pair, a little under the worst frame measured at gate
-# creation — (10,40): 0.979/0.999/0.952; (20,60): 0.977/0.990/0.940;
-# (30,90): 0.866/0.989/0.831 (high thresholds on the deepest-zoom blurry
-# crops keep very few edges, so percentage agreement gets grainy there).
+# Floors per (pair, parity domain), a little under the worst frame
+# measured at gate creation.
+# 'opencv' domain (thresholds carry 1:1 to cv2.Canny): (10,40):
+# 0.979/0.999/0.952; (20,60): 0.977/0.990/0.940; (30,90):
+# 0.866/0.989/0.831 (high thresholds on the deepest-zoom blurry crops
+# keep very few edges, so percentage agreement gets grainy there).
+# 'reference' domain (the production engine default; its
+# (coeff*sqrt(m))>>3 truncation coarsens effective thresholds, loosening
+# the high-threshold rows): (10,40): 0.979/0.993/0.956; (20,60):
+# 0.977/0.985/0.942; (30,90): 0.889/0.891/0.770.
 _SEQ_MIN = {
-    (10, 40): (0.95, 0.98, 0.92),
-    (20, 60): (0.95, 0.97, 0.91),
-    (30, 90): (0.84, 0.97, 0.80),
+    ("opencv", (10, 40)): (0.95, 0.98, 0.92),
+    ("opencv", (20, 60)): (0.95, 0.97, 0.91),
+    ("opencv", (30, 90)): (0.84, 0.97, 0.80),
+    ("reference", (10, 40)): (0.95, 0.97, 0.92),
+    ("reference", (20, 60)): (0.95, 0.96, 0.91),
+    ("reference", (30, 90)): (0.86, 0.86, 0.74),
 }
 
 
+@pytest.mark.parametrize("parity", ["opencv", "reference"])
 @pytest.mark.parametrize("pair", _PAIR_GRID, ids=lambda p: f"lo{p[0]}hi{p[1]}")
-def test_sequence_parity_gate(pair):
+def test_sequence_parity_gate(pair, parity):
     from cudacam_tpu.parity import pan_zoom_frames
 
     base = cv2.imread(_BASE)
@@ -85,13 +95,13 @@ def test_sequence_parity_gate(pair):
     lo, hi = pair
     worst = None
     for i, f in enumerate(frames):
-        s = compare_frame(f, low=lo, high=hi)
+        s = compare_frame(f, low=lo, high=hi, parity=parity)
         key = (s["ours_within_1px_of_cv2"], s["cv2_within_1px_of_ours"],
                s["exact_iou"])
         if worst is None or key < worst[0]:
             worst = (key, i, s)
     (ours_near, cv_near, iou), idx, s = worst
-    min_ours, min_cv, min_iou = _SEQ_MIN[pair]
+    min_ours, min_cv, min_iou = _SEQ_MIN[(parity, pair)]
     assert ours_near >= min_ours, (idx, s)
     assert cv_near >= min_cv, (idx, s)
     assert iou >= min_iou, (idx, s)

@@ -132,11 +132,12 @@ class TestKernelVariants:
 
 
 class TestInjectableSaturate:
-    """The hysteresis round loop (extend -> saturate -> trim -> psum) is one
-    composition with an injectable local operator; these tests run that SAME
-    composition multi-shard with different operators, so the loop logic that
-    executes on a real pod (including the remove_candidates=False / halo
-    trim interplay) is verified on the 8-device virtual mesh."""
+    """The packed hysteresis round loop (strip exchange -> saturate ->
+    psum; parallel/packed_halo.py) is one composition with an injectable
+    local operator ``(f, p) -> (f, growing)``; these tests run that SAME
+    composition multi-shard with different operators, so the loop logic
+    that executes on a real pod is verified on the 8-device virtual
+    mesh."""
 
     def _snake_frame(self):
         h, w = 64, 96
@@ -144,13 +145,12 @@ class TestInjectableSaturate:
         frame[:, 48] = np.linspace(255, 80, h).astype(np.uint8)
         return frame
 
-    def _run_with(self, saturate_builder, hh=None):
+    def _run_with(self, saturate_builder, rows=4, cols=2):
         frame = self._snake_frame()
         cfg = CannyConfig(height=64, width=96, channels=1)
-        mesh = make_mesh(batch=1, rows=4, cols=2)
+        mesh = make_mesh(batch=1, rows=rows, cols=cols)
         run = build_sharded_pipeline(
-            cfg, mesh, local_saturate=saturate_builder(cfg),
-            hysteresis_halo=hh,
+            cfg, mesh, local_saturate=saturate_builder(cfg, mesh),
         )
         out = np.asarray(
             run(jnp.asarray(frame)[None], jnp.int32(5), jnp.int32(90))
@@ -159,58 +159,129 @@ class TestInjectableSaturate:
         np.testing.assert_array_equal(out, exp)
         assert (out[60] == 255).any()  # cross-shard promotion happened
 
-    def test_default_packed_operator(self):
-        from cudacam_tpu.parallel.sharded import default_local_saturate
+    @staticmethod
+    def _geo(cfg, mesh):
+        from cudacam_tpu.parallel.packed_halo import make_geo
 
-        self._run_with(default_local_saturate)
+        return make_geo(
+            cfg.height // mesh.shape["y"], cfg.width // mesh.shape["x"]
+        )
+
+    def test_default_packed_operator(self):
+        from cudacam_tpu.parallel.sharded import xla_packed_saturate
+
+        self._run_with(
+            lambda cfg, mesh: xla_packed_saturate(cfg, self._geo(cfg, mesh))
+        )
 
     def test_weak_operator_still_converges(self):
-        # A deliberately weak operator (single dilation per round): the
-        # round loop itself must carry convergence via repeated exchange.
-        from cudacam_tpu.ops.bitpack import hysteresis_packed
+        # A deliberately weak operator (ONE bit-parallel dilation per
+        # round): the round loop itself must carry convergence via
+        # repeated exchange + psum, with the growing flag reported from
+        # the state delta.
+        from cudacam_tpu.ops.bitpack import _make_ops
 
-        def weak(cfg):
-            return lambda t_ext: hysteresis_packed(
-                t_ext, max_iters=1, remove_candidates=False,
-                dilate_steps=1, scan_after=99,
-            )
+        def weak(cfg, mesh):
+            geo = self._geo(cfg, mesh)
+            dilates, _ = _make_ops(geo.ext_h, geo.ext_w, 1)
+
+            def saturate(f, p):
+                nf = dilates(f, p)
+                return nf, jnp.any(nf != f)
+
+            return saturate
 
         self._run_with(weak)
 
-    def test_oracle_standin_operator(self):
-        # Stand-in for TPU-only saturation kernels (the Pallas sweep
-        # variant, sweep_kernel_local_saturate): any op that locally
-        # saturates the extended tile composes identically. This executes
-        # the exact round-loop code path the sweep kernel uses on a pod.
-        from cudacam_tpu.ops.bitpack import hysteresis_packed
+    def test_full_local_operator(self):
+        # Full two-phase local convergence per round (the production
+        # default, spelled explicitly via converge_packed).
+        from cudacam_tpu.ops.bitpack import converge_packed
 
-        def full_local(cfg):
-            return lambda t_ext: hysteresis_packed(
-                t_ext, max_iters=cfg.max_hysteresis_iters,
-                remove_candidates=False,
+        def full_local(cfg, mesh):
+            geo = self._geo(cfg, mesh)
+
+            def saturate(f, p):
+                nf, _, growing = converge_packed(
+                    f, p, geo.ext_h, geo.ext_w,
+                    max_iters=cfg.max_hysteresis_iters,
+                )
+                return nf, growing
+
+            return saturate
+
+        self._run_with(full_local)
+
+    def test_row_only_mesh(self):
+        from cudacam_tpu.parallel.sharded import xla_packed_saturate
+
+        self._run_with(
+            lambda cfg, mesh: xla_packed_saturate(cfg, self._geo(cfg, mesh)),
+            rows=8, cols=1,
+        )
+
+
+class TestPackedHaloUnits:
+    """Unit coverage of the bit-strip juggling in packed_halo: extraction
+    and OR-placement at arbitrary (misaligned, negative, capped) bit
+    offsets — the part of the sharded rewrite that is easiest to get
+    subtly wrong."""
+
+    def _plane(self, rows, lanes, bits):
+        x = np.zeros((rows, lanes), np.uint32)
+        for r, c in bits:
+            x[r // 32, c] |= np.uint32(1) << np.uint32(r % 32)
+        return jnp.asarray(x)
+
+    def test_extract32_offsets(self):
+        from cudacam_tpu.parallel.packed_halo import _extract32
+
+        x = self._plane(4, 8, [(0, 1), (33, 2), (37, 3), (95, 4)])
+        xn = np.asarray(x)
+        for b in (0, 1, 5, 32, 33, 63, -3, -31):
+            got = np.asarray(_extract32(x, b))[0]
+            for c in range(8):
+                for j in range(32):
+                    row = b + j
+                    want = (
+                        (int(xn[row // 32, c]) >> (row % 32)) & 1
+                        if 0 <= row < 128
+                        else 0
+                    )
+                    assert (int(got[c]) >> j) & 1 == want, (b, c, j)
+
+    def test_or_place_roundtrip(self):
+        from cudacam_tpu.parallel.packed_halo import _extract32, _or_place32
+
+        rng = np.random.default_rng(7)
+        strip = jnp.asarray(
+            rng.integers(0, 2**32, size=(1, 8), dtype=np.uint64).astype(
+                np.uint32
             )
+        )
+        for b in (0, 3, 32, 45, -5):
+            x = jnp.zeros((4, 8), jnp.uint32)
+            x2, new = _or_place32(x, strip, b, 128)
+            assert bool(new)
+            back = np.asarray(_extract32(x2, max(b, 0)))[0]
+            shift = max(b, 0) - b
+            want = np.asarray(strip)[0]
+            if shift:
+                want = want >> np.uint32(shift)
+            lost = max(0, b + 32 - 128)  # bits past the plane cap drop
+            if lost:
+                want = want & np.uint32((1 << (32 - lost)) - 1)
+            np.testing.assert_array_equal(back, want)
+            # placing the same strip again brings nothing new
+            _, new2 = _or_place32(x2, strip, b, 128)
+            assert not bool(new2)
 
-        self._run_with(full_local, hh=8)
+    def test_or_place_cap(self):
+        from cudacam_tpu.parallel.packed_halo import _or_place32
 
-    @pytest.mark.slow
-    def test_fused_kernel_operator_interpret(self):
-        # The pallas backend's DEFAULT saturate (the fused hysteresis
-        # kernel, granule-padding halo-extended tiles internally) run in
-        # interpret mode on the virtual mesh: the exact operator + round
-        # loop composition a real pod executes.
-        from cudacam_tpu.ops.pallas.hysteresis_fused import hysteresis_fused
-
-        def fused_interp(cfg):
-            return lambda t_ext: hysteresis_fused(
-                t_ext, max_iters=cfg.max_hysteresis_iters,
-                remove_candidates=False,
-                dilate_steps=cfg.hysteresis_inner_steps,
-                scan_after=cfg.hysteresis_scan_after, interpret=True,
-            )
-
-        self._run_with(fused_interp, hh=8)
-
-    def test_small_halo(self):
-        from cudacam_tpu.parallel.sharded import default_local_saturate
-
-        self._run_with(default_local_saturate, hh=1)
+        strip = jnp.full((1, 4), 0xFFFFFFFF, jnp.uint32)
+        x, _ = _or_place32(jnp.zeros((4, 4), jnp.uint32), strip, 100, 110)
+        got = np.asarray(x)
+        # bits 100..109 set, nothing else; word 3 holds bits 96..127
+        assert (got[:3] == 0).all()
+        assert (got[3] == (((1 << 10) - 1) << 4)).all()

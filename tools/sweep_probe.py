@@ -55,12 +55,20 @@ def main():
     # production derivation (scalar bounds, reference parity domain).
     from cudacam_tpu.ops import xla_ops
 
+    # NOTE: this probe measures the 'reference' parity domain only (the
+    # scalar-bound derivation below is that domain's thresh map; the
+    # opencv domain differs only in the bound formula, not the cost
+    # shape). Stage codes come from cudacam_tpu.stages so the probe can't
+    # silently diverge from the production constants.
+    from cudacam_tpu.stages import CANDIDATE_EDGE, NO_EDGE
+
     def thresh_from_kg(kg_, lo_, hi_):
         lo_b = xla_ops.threshold_magnitude_bound(lo_, cfg.grad_coeff, cfg.norm)
         hi_b = xla_ops.threshold_magnitude_bound(hi_, cfg.grad_coeff, cfg.norm)
         fin, cand = kg_ >= hi_b, kg_ >= lo_b
         return jnp.where(fin, jnp.uint8(FINAL_EDGE),
-                         jnp.where(cand, jnp.uint8(128), jnp.uint8(0)))
+                         jnp.where(cand, jnp.uint8(CANDIDATE_EDGE),
+                                   jnp.uint8(NO_EDGE)))
 
     tm = named("p_thresh_map", thresh_from_kg)
     thresh = jax.block_until_ready(tm(kg, lo, hi))
