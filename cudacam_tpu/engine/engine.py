@@ -356,7 +356,9 @@ class CannyEngine(ThresholdControls):
         self._cfg = config
         self._backend = _resolve_backend(config.backend)
         self._profiling = profiling
-        #: 'auto' | 'stages' | 'cumulative' — see _process_profiled.
+        #: 'auto' | 'stages' | 'cumulative' | 'device' — see
+        #: _process_profiled (device = XProf device-lane sampling,
+        #: _process_profiled_device).
         self.profiling_mode = "auto"
         self._timers = timers or TimerManager.get()
         self._init_thresholds(config)
@@ -476,8 +478,16 @@ class CannyEngine(ThresholdControls):
           increment t(k) - t(k-1). This times the program users actually
           run, instead of silently switching backends.
 
-        ``profiling_mode`` overrides the per-backend default."""
-        if self._profiling_mode_resolved() == "cumulative":
+        ``profiling_mode`` overrides the per-backend default; the extra
+        ``device`` mode samples XProf device-lane time instead of wall
+        clocks (hardware truth on tunnel deployments — see
+        _process_profiled_device)."""
+        mode = self._profiling_mode_resolved()
+        if mode == "device":
+            return self._process_profiled_device(
+                arr, batched, final_stage, lo, hi
+            )
+        if mode == "cumulative":
             return self._process_profiled_cumulative(
                 arr, batched, final_stage, lo, hi
             )
@@ -568,6 +578,48 @@ class CannyEngine(ThresholdControls):
             self._timers.add_time(names[stage], max(0.0, dt - prev))
             prev = dt
         return out
+
+    def _process_profiled_device(
+        self, arr: jax.Array, batched: bool, final_stage: CannyStage, lo, hi
+    ) -> jax.Array:
+        """Profiling with hardware truth (VERDICT r3 #8): per-stage times
+        come from the XProf DEVICE LANE, not wall clocks — on tunnel
+        deployments ``block_until_ready`` acks before device execution
+        completes, so the cumulative mode's wall increments are
+        indicative-only there (utils/devtime.py has the calibration
+        story). Mechanics: the FIRST profiled frame per (batch, stage) key
+        samples each cumulative run-to-stage-k program under its own
+        profiler trace (a one-time ~2 s/stage capture; separate traces
+        because the executables share a name and would aggregate) and
+        records the t(k) - t(k-1) increments; subsequent frames run the
+        production program untraced, so streaming stays at full speed and
+        the table shows the device-lane sample. On CPU (no device lane)
+        the sample falls back to the honest wall clock. Re-enable via
+        ``timers.reset()`` + dropping the sample key to re-sample."""
+        key = ("devsample", batched, final_stage)
+        if key not in self._profile_warmed:
+            names = CANNY_STAGE_NAMES
+            from cudacam_tpu.utils.devtime import device_time_ms_per_call
+
+            import time as _time
+
+            prev = 0.0
+            for stage in CannyStage:
+                if stage > final_stage:
+                    break
+                fn = self._get_to_stage(stage, batched)
+                jax.block_until_ready(fn(arr, lo, hi))  # warm/compile
+                dev = device_time_ms_per_call(
+                    lambda: jax.block_until_ready(fn(arr, lo, hi)), calls=3
+                )
+                if dev is None:  # CPU: wall clock is honest
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(fn(arr, lo, hi))
+                    dev = (_time.perf_counter() - t0) * 1e3
+                self._timers.add_time(names[stage], max(0.0, dev - prev))
+                prev = dev
+            self._profile_warmed.add(key)
+        return self._get_to_stage(final_stage, batched)(arr, lo, hi)
 
     def process_all(self, frame: ArrayLike) -> Dict[str, jax.Array]:
         """Run everything, returning all stage buffers (the reference keeps

@@ -164,6 +164,29 @@ class TestCumulativeProfiling:
         e.profiling_mode = "cumulative"
         assert e._profiling_mode_resolved() == "cumulative"
 
+    def test_device_mode_times_and_matches(self, frame):
+        """profiling_mode='device' samples per-stage device-lane time once
+        (XProf on TPU; honest wall clock on CPU where no device lane
+        exists) and then streams at production speed. Output must equal
+        the unprofiled path bit-for-bit."""
+        timers = TimerManager()
+        e = CannyEngine(
+            CannyConfig(height=48, width=64, backend="xla"),
+            profiling=True,
+            timers=timers,
+        )
+        e.profiling_mode = "device"
+        out_prof = np.asarray(e.process(frame))
+        # Second frame reuses the sample (no re-trace) and still matches.
+        out_again = np.asarray(e.process(frame))
+        e.set_profiling(False)
+        out_plain = np.asarray(e.process(frame))
+        np.testing.assert_array_equal(out_prof, out_plain)
+        np.testing.assert_array_equal(out_again, out_plain)
+        recorded = {name for name, _, count in timers.items() if count > 0}
+        assert len(recorded) == 6  # all six stages attributed once
+        assert "TOTAL" in e.profiling_table()
+
 
 class TestThresholdCacheByValue:
     def test_stale_cache_never_served(self, frame):

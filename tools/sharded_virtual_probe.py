@@ -43,15 +43,20 @@ from cudacam_tpu.stages import CannyStage
 
 
 def _permute_shapes(txt):
-    """Result shapes (byte counts) of every collective-permute instruction
+    """Result (byte count, dtype) of every collective-permute instruction
     in an HLO module text (each instruction appears once in its defining
-    computation, however many loop rounds execute it)."""
+    computation, however many loop rounds execute it). The feed-forward
+    halo exchange moves u8 planar strips; the packed hysteresis exchange
+    moves u32 bit-plane strips (parallel/packed_halo.py)."""
     shapes = []
     for line in txt.splitlines():
         if "collective-permute(" in line or "collective-permute-start(" in line:
-            m = re.search(r"= u8\[([\d,]+)\]", line)
+            m = re.search(r"= (u8|u32|s32)\[([\d,]+)\]", line)
             if m:
-                shapes.append(int(np.prod([int(d) for d in m.group(1).split(",")])))
+                el = 4 if m.group(1) in ("u32", "s32") else 1
+                shapes.append(
+                    el * int(np.prod([int(d) for d in m.group(2).split(",")]))
+                )
     return sorted(shapes)
 
 
@@ -68,9 +73,17 @@ def _hlo_collective_stats(cfg, mesh, frame, lo, hi):
     txt_full = run_full.lower(frame, lo, hi).compile().as_text()
     ff_shapes = _permute_shapes(txt_ff)
     full_shapes = _permute_shapes(txt_full)
-    round_shapes = list(full_shapes)
+    hyster_shapes = list(full_shapes)
     for s in ff_shapes:
-        round_shapes.remove(s)
+        hyster_shapes.remove(s)
+    # The packed loop issues THREE textually-identical exchange sets
+    # (packed_halo.packed_hysteresis_loop): the one-time candidate-plane
+    # exchange, the pre-loop FINAL exchange, and the while-BODY FINAL
+    # exchange — only the last runs per round. Each set is 2 permutes per
+    # active mesh axis.
+    assert len(hyster_shapes) % 3 == 0, hyster_shapes
+    per_round = len(hyster_shapes) // 3
+
     def _ar(t):
         return sum(
             1 for line in t.splitlines()
@@ -78,9 +91,9 @@ def _hlo_collective_stats(cfg, mesh, frame, lo, hi):
         )
     return (
         len(ff_shapes),
-        len(round_shapes),
+        per_round,
         _ar(txt_full) - _ar(txt_ff),
-        int(sum(round_shapes)),
+        int(sum(hyster_shapes) // 3),
     )
 
 
@@ -136,7 +149,6 @@ def main():
         cfg, mesh, jnp.asarray(snake)[None], lo_s, hi_s
     )
 
-    hh = cfg.hysteresis_inner_steps
     print(json.dumps({
         "mesh": "1x2x4 (8 virtual CPU devices)",
         "frame": f"{h}x{w}",
@@ -145,7 +157,10 @@ def main():
         "hyster_collective_permutes_per_round": rp,
         "hyster_allreduces_per_round": ra,
         "hyster_halo_bytes_per_round": halo_b,
-        "hysteresis_halo_px": hh,
+        # Packed-strip exchange depth (parallel/packed_halo.make_geo):
+        # one 32-image-row u32 word-row per vertical side, 64 u32 lanes
+        # per horizontal side.
+        "hysteresis_halo_px": 32,
         "scene_collective_rounds": scene_rounds,
         "snake_collective_rounds": snake_rounds,
     }))
