@@ -84,12 +84,22 @@ class CannyConfig:
     # middle and the knob is exposed for depth-atypical content.
     hysteresis_inner_steps: Optional[int] = None
     # Rounds of pure dilation before escalating to the 8-direction
-    # carry-lookahead scans (long straight candidate runs). Real scenes
-    # converge in ~10 rounds (with the diameter-scaled inner steps above),
-    # and a scan round costs ~4x a dilation round and rarely shortens
-    # scene convergence (tools/hyster_breakdown.py) — so escalation sits
-    # just past typical convergence, as the adversarial safety valve.
-    hysteresis_scan_after: int = 12
+    # carry-lookahead scans (long straight candidate runs). Default
+    # (None): 64 at <=1080p, 32 on mega-frames. Escalation is expensive
+    # relative to the rounds it skips — a 1080p phase-1 round costs
+    # ~5.2 us in-kernel while a TAKEN phase-2 continuation costs
+    # 0.6-3.5 ms (tools/escalation_probe.py) — and real scenes converge
+    # in phase 1 when allowed: the slowest measured scene is 31 rounds
+    # (ks=3 seed 0) at 1080p, 15 at 4K. r3's scan_after=12 made that one
+    # scene wear the continuation every frame (the ks=3 row's 2x
+    # regression, VERDICT r3); the derived defaults sit ~2x past the
+    # slowest measured scene. Raising it also LOWERS the adversarial
+    # ceiling: at the 100-round cap, later escalation truncates the
+    # expensive scan rounds, not the cheap dilations (1080p spiral:
+    # 2.08 -> 1.02 ms direct at sa=72). The escalation valve itself stays
+    # (scan_after < max_iters) for inputs with genuinely long monotone
+    # runs.
+    hysteresis_scan_after: Optional[int] = None
 
     # --- execution -------------------------------------------------------
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
@@ -114,6 +124,7 @@ class CannyConfig:
             raise ValueError("grad_coeff must be 1, 2, 4 or 8")
         if self.height <= 0 or self.width <= 0:
             raise ValueError("height/width must be positive")
+        side = max(self.height, self.width)
         if self.hysteresis_inner_steps is None:
             # Derived default (frozen dataclass, hence object.__setattr__):
             # 32 on mega-frames amortizes the per-round convergence check
@@ -121,12 +132,20 @@ class CannyConfig:
             # does NOT grow with the diameter (8K scenes measured FASTER
             # at 16 than 64 — the waste of overshooting convergence grows
             # with both the step count and the state size).
-            side = max(self.height, self.width)
             object.__setattr__(
                 self, "hysteresis_inner_steps", 16 if side <= 2048 else 32
             )
         elif self.hysteresis_inner_steps < 1:
             raise ValueError("hysteresis_inner_steps must be >= 1")
+        if self.hysteresis_scan_after is None:
+            # Derived default: ~2x the slowest measured scene's phase-1
+            # convergence (31 rounds at 1080p/ks3, 15 at 4K with the
+            # bigger inner_steps above) — see the field comment.
+            object.__setattr__(
+                self, "hysteresis_scan_after", 64 if side <= 2048 else 32
+            )
+        elif self.hysteresis_scan_after < 1:
+            raise ValueError("hysteresis_scan_after must be >= 1")
         cap = self.threshold_cap
         if not (0 <= self.low_threshold <= cap) or not (
             0 <= self.high_threshold <= cap

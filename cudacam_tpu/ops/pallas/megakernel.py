@@ -86,6 +86,19 @@ def _pick_bh(h: int, w: int) -> int:
     return best
 
 
+#: Packed-plane budget for the megakernel — LARGER than the fused
+#: hysteresis kernel's (hysteresis_fused._PLANE_BUDGET): this kernel holds
+#: no scan code (phase 2 lives in the continuations), so a phase-1 round's
+#: live set is only ~6 plane-sized temporaries, and 8K's 4.3 MB planes fit
+#: the raised 64 MB scoped-VMEM cap (~43 MB total with the slab and
+#: output buffers). That is what gives 8K a fused hysteresis phase 1 —
+#: the 8K-shaped SCAN kernel is the thing the remote Mosaic compiler
+#: never returned on (docs/performance.md), and it stays excluded: 8K
+#: phase 2 runs the XLA continuation (_cont_xla; see the cont='auto'
+#: policy in canny_mega_pipeline).
+_MEGA_PLANE_BUDGET = 4_500_000
+
+
 def _mega_geometry(h: int, w: int) -> Optional[Tuple[int, int, int, int]]:
     """(bh, n_blocks, hwp, wp) or None when the megakernel doesn't apply."""
     if h % 8 or w % 128:
@@ -97,7 +110,7 @@ def _mega_geometry(h: int, w: int) -> Optional[Tuple[int, int, int, int]]:
     # exact NO_EDGE, so whole-core packs stay on word boundaries.
     hwp = n_blocks * (bh // 32) + 1  # +1 guard word-row (roll wrap)
     wp = w + hfz._GUARD_LANES
-    if hwp * wp * 4 > hfz._PLANE_BUDGET:
+    if hwp * wp * 4 > _MEGA_PLANE_BUDGET:
         return None
     return bh, n_blocks, hwp, wp
 
@@ -165,7 +178,7 @@ def _kernel(
     w: int,
     img_h: int,
     img_w: int,
-    ring: int,
+    ring: Tuple[int, int],
     export_only: bool,
     kernel_size: int,
     grad_coeff: int,
@@ -210,18 +223,22 @@ def _kernel(
     # whole-core packs land zeros in every pad/guard position for free.
     # sw - PAD_C == w + 128 == wp exactly when w % 128 == 0 (mega_ok).
     core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
-    if ring:
+    ring_r, ring_c = ring
+    if ring_r or ring_c:
         # Sharded tiles: zero the POLLUTION ring — positions within
         # ``ring`` (= the feed-forward stencil halo) of the extended
         # tile's edge read zero-filled slab cells where the true image
         # has neighbor pixels beyond the exchanged halo, so their stage
         # outputs are junk there (exact only at global borders, which
-        # the valid mask already zeroed). Same 1-D outer-product shape
-        # as the valid mask; also re-zeros the guard lanes [ext_w, wp).
+        # the valid mask already zeroed). Per-axis: a mesh axis with one
+        # shard has no extension and no pollution (the tile edge IS the
+        # global border there). Same 1-D outer-product shape as the
+        # valid mask; the column mask also re-zeros the guard lanes
+        # [ext_w, wp).
         rr = i * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, 1), 0)
         cc = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
-        rok = ((rr >= ring) & (rr < h - ring)).astype(jnp.int32)
-        cok = ((cc >= ring) & (cc < w - ring)).astype(jnp.int32)
+        rok = ((rr >= ring_r) & (rr < h - ring_r)).astype(jnp.int32)
+        cok = ((cc >= ring_c) & (cc < w - ring_c)).astype(jnp.int32)
         core = core * (rok * cok)
     io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
     fw = jnp.sum(
@@ -365,7 +382,7 @@ def canny_mega(
     return _mega_call(
         frame_planar, low, high, None,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
-        img_h=h, img_w=w, ring=0, export_only=False,
+        img_h=h, img_w=w, ring=(0, 0), export_only=False,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every, interpret=interpret,
@@ -386,7 +403,7 @@ def _mega_call(
     w: int,
     img_h: int,
     img_w: int,
-    ring: int,
+    ring: Tuple[int, int],
     export_only: bool,
     kernel_size: int,
     grad_coeff: int,
@@ -485,7 +502,7 @@ def canny_mega_export(
     high: jnp.ndarray,
     origin,
     image_size: Tuple[int, int],
-    ring: int,
+    ring: Tuple[int, int],
     kernel_size: int = 5,
     grad_coeff: int = 4,
     norm: str = "l2",
@@ -776,7 +793,10 @@ def _cont_xla(
 
 
 #: Pixel count at which the pipeline's phase-2 continuation switches from
-#: the XLA form to the Pallas kernel (see _cont_xla's docstring): 4K and up.
+#: the XLA form to the Pallas kernel (see _cont_xla's docstring): 4K and
+#: up — but only while the continuation KERNEL is compilable at the shape
+#: (its 8-direction scans at 8K never returned from the remote Mosaic
+#: compiler; the auto policy routes those to the XLA form).
 _CONT_PALLAS_MIN_PX = 4_000_000
 
 
@@ -816,7 +836,11 @@ def canny_mega_pipeline(
     h, w = frame_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
     if cont == "auto":
-        cont = "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"
+        cont = (
+            "pallas"
+            if h * w >= _CONT_PALLAS_MIN_PX and hwp * wp * 4 <= hfz._PLANE_BUDGET
+            else "xla"
+        )
 
     if cont == "pallas":
 

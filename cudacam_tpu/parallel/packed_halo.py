@@ -82,21 +82,27 @@ def make_geo(
     h_loc: int,
     w_loc: int,
     granule: bool = False,
+    ny: int = 2,
+    nx: int = 2,
     plane_rows: int | None = None,
     plane_lanes: int | None = None,
 ) -> PackedGeo:
-    """Geometry for a (h_loc, w_loc) owned tile.
+    """Geometry for a (h_loc, w_loc) owned tile on an (ny, nx) tile grid.
 
     Halo slots are 32 px vertical / 64 px horizontal (clamped to the tile:
     a shard can only export state it owns — smaller tiles just propagate
-    fewer pixels per collective round). ``granule=True`` pads the extended
-    tile to the Pallas DMA granules (ext_h % 8 == 0, ext_w % 128 == 0) by
-    growing the bottom/right slots — the megakernel ingests the extended
-    planar tile directly at those shapes. ``plane_rows``/``plane_lanes``
-    override the plane allocation (the megakernel's export planes carry
+    fewer pixels per collective round). A mesh axis with a SINGLE shard
+    has no neighbors and gets zero slots — on a 1x1x1 mesh the extended
+    grid degenerates to the raw tile, so the sharded program carries no
+    extension overhead at all there (and a row-only mesh carries none on
+    the column axis). ``granule=True`` pads the extended tile to the
+    Pallas DMA granules (ext_h % 8 == 0, ext_w % 128 == 0) by growing the
+    bottom/right slots — the megakernel ingests the extended planar tile
+    directly at those shapes. ``plane_rows``/``plane_lanes`` override the
+    plane allocation (the megakernel's export planes carry
     slab-granularity tail rows plus the guard ring)."""
-    e_top = min(32, h_loc)
-    e_left = min(64, w_loc)
+    e_top = min(32, h_loc) if ny > 1 else 0
+    e_left = min(64, w_loc) if nx > 1 else 0
     e_bot, e_right = e_top, e_left
     if granule:
         e_bot += (-(h_loc + e_top + e_bot)) % 8

@@ -97,6 +97,14 @@ def _trim(x: jnp.ndarray, h: int, axes: tuple[int, ...]) -> jnp.ndarray:
     return x[tuple(idx)]
 
 
+def _pl_saturate_ok(geo: PackedGeo) -> bool:
+    """The Pallas saturate kernel includes the phase-2 scans, whose
+    compile budget is the fused hysteresis kernel's plane budget."""
+    from cudacam_tpu.ops.pallas.hysteresis_fused import _PLANE_BUDGET
+
+    return geo.plane_rows * geo.plane_lanes * 4 <= _PLANE_BUDGET
+
+
 def xla_packed_saturate(cfg: CannyConfig, geo: PackedGeo) -> Callable:
     """The portable local-saturation operator for the packed round loop:
     ``bitpack.converge_packed`` (both escalating phases of the ONE shared
@@ -183,8 +191,10 @@ def build_sharded_pipeline(
     if backend == "pallas" and final_stage == CannyStage.HYSTER:
         from cudacam_tpu.ops.pallas.megakernel import mega_export_geometry
 
-        g = make_geo(h_loc, w_loc, granule=True)
-        if h_loc >= max(40, g.e_bot) and w_loc >= max(192, g.e_right):
+        g = make_geo(h_loc, w_loc, granule=True, ny=ny, nx=nx)
+        if (ny == 1 or h_loc >= max(40, g.e_bot)) and (
+            nx == 1 or w_loc >= max(192, g.e_right)
+        ):
             mg = mega_export_geometry(g.ext_h, g.ext_w)
             if mg is not None:
                 use_mega = True
@@ -192,13 +202,21 @@ def build_sharded_pipeline(
                 mega_geo = dataclasses.replace(
                     g, plane_rows=hwp, plane_lanes=wp
                 )
-    geo = mega_geo if use_mega else make_geo(h_loc, w_loc, granule=False)
+    geo = (
+        mega_geo
+        if use_mega
+        else make_geo(h_loc, w_loc, granule=False, ny=ny, nx=nx)
+    )
 
     if local_saturate is not None:
         saturate = local_saturate
-    elif use_mega:
+    elif use_mega and _pl_saturate_ok(geo):
         saturate = pallas_packed_saturate(cfg, geo)
     else:
+        # Portable — and also the route for tiles whose planes exceed the
+        # SCAN kernel's budget (the saturate kernel carries the
+        # 8-direction scans, which don't compile at 8K-class shapes;
+        # docs/performance.md).
         saturate = xla_packed_saturate(cfg, geo)
 
     has_c = cfg.channels == 3
@@ -364,7 +382,7 @@ def build_sharded_pipeline(
             high,
             (row0 - geo.e_top, col0 - geo.e_left),
             image_size=(cfg.height, cfg.width),
-            ring=halo,
+            ring=(halo if ny > 1 else 0, halo if nx > 1 else 0),
             kernel_size=cfg.kernel_size,
             grad_coeff=cfg.grad_coeff,
             norm=cfg.norm,

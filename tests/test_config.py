@@ -57,3 +57,30 @@ class TestDerivedInnerSteps:
     def test_with_thresholds_keeps_resolved_value(self):
         cfg = CannyConfig(height=2160, width=3840)
         assert cfg.with_thresholds(5, 50).hysteresis_inner_steps == 32
+
+
+class TestDerivedScanAfter:
+    """hysteresis_scan_after defaults to 64 (<=1080p) / 32 (mega-frames):
+    ~2x the slowest measured scene's phase-1 convergence, because a taken
+    phase-2 continuation costs 2 orders more than the dilation rounds it
+    skips (tools/escalation_probe.py; VERDICT r3 ks=3 regression)."""
+
+    @pytest.mark.parametrize(
+        "h,w,want",
+        [(480, 640, 64), (1080, 1920, 64), (2160, 3840, 32), (4320, 7680, 32)],
+    )
+    def test_derived_default(self, h, w, want):
+        assert CannyConfig(height=h, width=w).hysteresis_scan_after == want
+
+    def test_explicit_value_respected(self):
+        cfg = CannyConfig(height=1080, width=1920, hysteresis_scan_after=12)
+        assert cfg.hysteresis_scan_after == 12
+
+    def test_escalation_valve_reachable(self):
+        # The derived default must keep phase 2 reachable (< the cap).
+        cfg = CannyConfig(height=1080, width=1920)
+        assert cfg.hysteresis_scan_after < cfg.max_hysteresis_iters
+
+    def test_rejects_zero(self):
+        with pytest.raises(ValueError, match="scan_after"):
+            CannyConfig(height=10, width=10, hysteresis_scan_after=0)

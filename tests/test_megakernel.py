@@ -24,18 +24,20 @@ class TestMegaGeometry:
         assert bh % 32 == 0  # whole packed words per slab
         assert n_blocks * bh >= h
         assert hwp == n_blocks * (bh // 32) + 1  # +1 guard word-row
-        from cudacam_tpu.ops.pallas.hysteresis_fused import (
-            _GUARD_LANES,
-            _PLANE_BUDGET,
-        )
+        from cudacam_tpu.ops.pallas.hysteresis_fused import _GUARD_LANES
+        from cudacam_tpu.ops.pallas.megakernel import _MEGA_PLANE_BUDGET
 
         assert wp == w + _GUARD_LANES
-        assert hwp * wp * 4 <= _PLANE_BUDGET
+        assert hwp * wp * 4 <= _MEGA_PLANE_BUDGET
 
     def test_off_granule_and_oversize_rejected(self):
         assert not mega_ok(1079, 1920)  # h % 8
         assert not mega_ok(1080, 1921)  # w % 128
-        assert not mega_ok(4320, 7680)  # 8K packed planes exceed VMEM budget
+        # 8K DOES qualify (r4): the megakernel holds no scan code, so its
+        # plane budget is set by phase-1 VMEM only — that is what gives 8K
+        # a fused hysteresis phase 1 (phase 2 = XLA continuation).
+        assert mega_ok(4320, 7680)
+        assert not mega_ok(8640, 15360)  # 16K planes past even that
 
     def test_pick_bh_minimises_dma_rows(self):
         # At 1080p the chooser must beat v1's forced 256-row slabs: 5 slabs

@@ -345,6 +345,22 @@ for form in ("xla", "pallas"):
     if not np.array_equal(out_c, ref_c):
         failures.append(f"continuation[{form}] n={(out_c != ref_c).sum()}")
 
+# GRAYSCALE megakernel + continuation ON HARDWARE (VERDICT r3 #7): the
+# channels=1 ingest was pinned converged-only in interpret mode; force
+# the still-growing export with scan_after=1 on the gray plane too.
+gr_c = oracle.rgb2mono(fr_c)
+ref_g = oracle.canny_pipeline(gr_c, 10, 40)["hyster"]
+flags_g = np.asarray(
+    _cm(jnp.asarray(gr_c), jnp.int32(10), jnp.int32(40), **kw_c)[1]
+)
+if flags_g[0, 1] != 1:
+    failures.append(f"gray continuation case unexpectedly converged {flags_g}")
+out_g = np.asarray(
+    _cmp(jnp.asarray(gr_c), jnp.int32(10), jnp.int32(40), cont="xla", **kw_c)
+)
+if not np.array_equal(out_g, ref_g):
+    failures.append(f"gray continuation n={(out_g != ref_g).sum()}")
+
 # Whole pipeline glue vs whole oracle.
 frame = rng.integers(0, 256, (96, 160, 3), dtype=np.uint8)
 cfg = CannyConfig(height=96, width=160)
@@ -391,7 +407,11 @@ if not np.array_equal(out_t[halo : halo + th_, halo : halo + tw_],
                       thr_b[r0 : r0 + th_, c0 : c0 + tw_]):
     failures.append("origin-pinned tile")
 
-# Sharded pipeline, pallas backend, 1x1x1 mesh on the real chip.
+# Sharded pipeline, pallas backend, 1x1x1 mesh on the real chip — BOTH
+# tile classes: 96x160 (below the megakernel-export gate: pallas FF +
+# XLA packed round loop) and 64x256 (mega-eligible: export-mode
+# megakernel + fused saturate kernel + unpack kernel — the production
+# packed path on hardware).
 from cudacam_tpu.parallel import build_sharded_pipeline, make_mesh
 from cudacam_tpu.parallel.sharded import shard_frame
 
@@ -402,6 +422,17 @@ fr = frame[None]
 out_s = np.asarray(run(shard_frame(jnp.asarray(fr), mesh), jnp.int32(10), jnp.int32(40)))
 if not np.array_equal(out_s[0], ref):
     failures.append(f"sharded pallas n={(out_s[0] != ref).sum()}")
+
+cfg_s2 = CannyConfig(height=64, width=256)
+run2 = build_sharded_pipeline(cfg_s2, mesh, backend="pallas")
+from cudacam_tpu.parallel import sharded as _sh
+from cudacam_tpu.parallel.packed_halo import make_geo as _mg2
+assert _sh and _mg2(64, 256, granule=True).ext_w % 128 == 0
+out_s2 = np.asarray(
+    run2(shard_frame(jnp.asarray(fr_m[None]), mesh), jnp.int32(10), jnp.int32(40))
+)
+if not np.array_equal(out_s2[0], ref_m):
+    failures.append(f"sharded mega-export n={(out_s2[0] != ref_m).sum()}")
 
 # Engine production path on the pallas backend: single frame, batched
 # (lax.map), stage selection, runtime threshold change without recompile.

@@ -163,9 +163,8 @@ class TestInjectableSaturate:
     def _geo(cfg, mesh):
         from cudacam_tpu.parallel.packed_halo import make_geo
 
-        return make_geo(
-            cfg.height // mesh.shape["y"], cfg.width // mesh.shape["x"]
-        )
+        ny, nx = mesh.shape["y"], mesh.shape["x"]
+        return make_geo(cfg.height // ny, cfg.width // nx, ny=ny, nx=nx)
 
     def test_default_packed_operator(self):
         from cudacam_tpu.parallel.sharded import xla_packed_saturate

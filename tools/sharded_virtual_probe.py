@@ -89,10 +89,13 @@ def _hlo_collective_stats(cfg, mesh, frame, lo, hi):
             1 for line in t.splitlines()
             if "all-reduce(" in line or "all-reduce-start(" in line
         )
+    # The loop carries TWO all-reduce instructions (the pre-loop
+    # convergence psum and the while-body one); only the body's runs per
+    # round.
     return (
         len(ff_shapes),
         per_round,
-        _ar(txt_full) - _ar(txt_ff),
+        (_ar(txt_full) - _ar(txt_ff)) - 1,
         int(sum(hyster_shapes) // 3),
     )
 
