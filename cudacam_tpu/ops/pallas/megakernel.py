@@ -89,13 +89,14 @@ def _pick_bh(h: int, w: int) -> int:
 #: Packed-plane budget for the megakernel — LARGER than the fused
 #: hysteresis kernel's (hysteresis_fused._PLANE_BUDGET): this kernel holds
 #: no scan code (phase 2 lives in the continuations), so a phase-1 round's
-#: live set is only ~6 plane-sized temporaries, and 8K's 4.3 MB planes fit
-#: the raised 64 MB scoped-VMEM cap (~43 MB total with the slab and
-#: output buffers). That is what gives 8K a fused hysteresis phase 1 —
-#: the 8K-shaped SCAN kernel is the thing the remote Mosaic compiler
-#: never returned on (docs/performance.md), and it stays excluded: 8K
-#: phase 2 runs the XLA continuation (_cont_xla; see the cont='auto'
-#: policy in canny_mega_pipeline).
+#: live set is only ~6 plane-sized temporaries, and 8K's 4.3 MB planes
+#: fit a raised scoped-VMEM cap (measured: the 8K kernel's scoped stack
+#: is 73 MB — OOM at the 64 MB cap the smaller geometries use, compiles
+#: at 100 MB; v5e physical VMEM is 128 MB). That is what gives 8K a
+#: fused hysteresis phase 1 — the 8K-shaped SCAN kernel is the thing the
+#: remote Mosaic compiler never returned on (docs/performance.md), and
+#: it stays excluded: 8K phase 2 runs the XLA continuation (_cont_xla;
+#: see the cont='auto' policy in canny_mega_pipeline).
 _MEGA_PLANE_BUDGET = 4_500_000
 
 
@@ -418,8 +419,13 @@ def _mega_call(
     gray = frame_planar.ndim == 2
     sw = ff._slab_w(w)
     # Export mode never unpacks: shrink the (otherwise unused) output
-    # staging buffer to its minimum.
-    ch_rows = 8 if export_only else 128
+    # staging buffer to its minimum. 8K-class planes (4.3 MB each) put
+    # the whole working set at ~73 MB — past the 64 MB cap the smaller
+    # geometries use but comfortably inside v5e's 128 MB physical VMEM;
+    # measured OOM-by-4.7MB at 64 MB, compiles at 100 MB.
+    big = hwp * wp * 4 > hfz._PLANE_BUDGET
+    vmem_cap = (100 if big else 64) * 1024 * 1024
+    ch_rows = 8 if export_only else (64 if big else 128)
     slab_shape = (
         (2, bh + 2 * ff.PAD_R, sw) if gray
         else (2, 3, bh + 2 * ff.PAD_R, sw)
@@ -469,7 +475,7 @@ def _mega_call(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=vmem_cap,
             has_side_effects=True,  # the output leaves via manual DMA
         ),
         interpret=interpret,
