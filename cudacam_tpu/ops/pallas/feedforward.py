@@ -99,6 +99,15 @@ def _pick_block_h(h: int, row_bytes: int, live_arrays: int,
     falls back to the cap itself (rows padded up)."""
     rows = _VMEM_BUDGET // max(1, row_bytes * live_arrays)
     cap = max(8, ((rows - 2 * pad_rows) // 8) * 8)
+    if live_arrays <= 10:
+        # Ultra-wide frames drive the budget cap below the DMA-overhead
+        # sweet spot (8K: cap 24 -> 2/5 of DMA'd rows are halo re-reads).
+        # With the raised 64 MB scoped-VMEM limit a 48-row slab is safe
+        # for the plain stage chain and measured distinctly faster
+        # (8K THRESH: 1342 us at bh=24 vs 1157 at 48,
+        # tools/mega8k_bh_probe.py). NMSQ/all-stage variants carry more
+        # live arrays and keep the conservative cap.
+        cap = max(cap, 48)
     if h <= cap:
         return ((h + 7) // 8) * 8
     best = None

@@ -105,12 +105,19 @@ def _mega_geometry(h: int, w: int) -> Optional[Tuple[int, int, int, int]]:
     if h % 8 or w % 128:
         return None
     bh = 32 if h <= 32 else _pick_bh(h, w)
+    wp = w + hfz._GUARD_LANES
+    if (-(-h // 32) + 1) * wp * 4 > hfz._PLANE_BUDGET:
+        # Huge-plane class (8K): the persistent planes (8.5 MB) compete
+        # with the slab working set, so _pick_bh's DMA-row minimiser
+        # overshoots — measured on hardware (tools/mega8k_bh_probe.py):
+        # bh 32/64/96/128 -> 2470/2306/2696/2668 us. Clamp to the
+        # measured optimum.
+        bh = min(bh, 64)
     n_blocks = -(-h // bh)
     # A trailing partial slab is fine: the slab core always spans bh
     # (32-multiple) rows, and rows past the image are valid-masked to
     # exact NO_EDGE, so whole-core packs stay on word boundaries.
     hwp = n_blocks * (bh // 32) + 1  # +1 guard word-row (roll wrap)
-    wp = w + hfz._GUARD_LANES
     if hwp * wp * 4 > _MEGA_PLANE_BUDGET:
         return None
     return bh, n_blocks, hwp, wp

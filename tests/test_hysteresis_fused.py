@@ -109,6 +109,36 @@ class TestFusedParity:
 
 
 @pytest.mark.slow
+class TestSaturatePacked:
+    """saturate_packed (the sharded round loop's Pallas operator) vs
+    bitpack.converge_packed on the same guard-ringed planes: same two
+    phases, same factory schedule, bit-identical — converged AND
+    cap-truncated — plus the growing flag."""
+
+    @pytest.mark.parametrize("max_iters", [2, 100])
+    def test_matches_converge_packed(self, max_iters):
+        from cudacam_tpu.ops.bitpack import converge_packed, pack_pair
+        from cudacam_tpu.ops.pallas.hysteresis_fused import saturate_packed
+
+        t = make_spiral_thresh(64, 256)
+        f, p = pack_pair(jnp.asarray(t))
+        # Guard-ringed layout: one zero word-row + 128 zero lanes.
+        pad = ((0, 1), (0, 128))
+        fg, pg = jnp.pad(f, pad), jnp.pad(p, pad)
+        got, growing = saturate_packed(
+            fg, pg, 64, 256, dilate_steps=4, scan_after=2,
+            max_iters=max_iters, interpret=True,
+        )
+        want, _, want_growing = converge_packed(
+            jnp.asarray(fg), jnp.asarray(pg), 64, 256,
+            dilate_steps=4, scan_after=2, max_iters=max_iters,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert bool(growing) == bool(want_growing)
+        assert bool(growing) == (max_iters == 2)  # spiral truncates at 2
+
+
+@pytest.mark.slow
 class TestBatchedSections:
     """hysteresis_fused_batched's hardest claim (ADVICE r3): stacked
     sections of DIFFERENT convergence depths share global round indices,
