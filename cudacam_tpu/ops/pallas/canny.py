@@ -35,10 +35,11 @@ from cudacam_tpu.ops.pallas.feedforward import (
     feed_forward_to_stage,
 )
 from cudacam_tpu.ops.pallas.hysteresis_fused import (
-    batched_ok,
     fused_ok,
     hysteresis_fused,
-    hysteresis_fused_batched,
+    hysteresis_fused_nmsq,
+    sweep_fused,
+    sweep_ok,
 )
 from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline, mega_ok
 from cudacam_tpu.stages import CannyStage
@@ -65,12 +66,10 @@ def _hyster(thresh, cfg: CannyConfig, interpret: bool):
     )
 
 
-def _sweep_group_size(k: int, h: int, w: int) -> int:
-    """Largest number of threshold-sweep tails (<= k) whose section stack
-    fits the fused hysteresis kernel's packed-plane budget; 0 when even a
-    solo (h, w) frame doesn't qualify (then the sweep uses lax.map over
-    _hyster, which picks the chunked XLA loop)."""
-    return max((c for c in range(1, k + 1) if batched_ok(c, h, w)), default=0)
+#: Program-size guard for the sweep's unrolled solo tails: past this many
+#: (low, high) pairs the tails fall back to lax.map (a K-pair sweep
+#: unrolls K kernel call sites; 64 is far past any interactive sweep).
+_SWEEP_UNROLL_MAX = 64
 
 
 def _planar_ok(frame: jnp.ndarray) -> bool:
@@ -193,39 +192,86 @@ def threshold_sweep_pallas(
         interpret=interpret,
     )
 
-    def thresh_map(lo, hi):
+    def cmp_bounds(lo, hi):
+        """The strict-> comparison bounds on the kg plane for one pair —
+        kg > hi_cmp is FINAL, kg > lo_cmp is at-least-CANDIDATE — in
+        either parity domain (same derivations as
+        xla_ops.compute_threshold_map's)."""
         if cfg.parity == "reference":
-            # keep*g >= bound(t) == keep & (g >= bound): bound >= 1 always
-            # (xla_ops.threshold_magnitude_bound), and suppressed pixels
-            # hold kg == 0.
+            # keep*g >= bound(t) == keep*g > bound(t)-1: bound >= 1
+            # always (xla_ops.threshold_magnitude_bound), and suppressed
+            # pixels hold kg == 0.
             lo_b = xla_ops.threshold_magnitude_bound(lo, cfg.grad_coeff, cfg.norm)
             hi_b = xla_ops.threshold_magnitude_bound(hi, cfg.grad_coeff, cfg.norm)
-            fin, cand = kg >= hi_b, kg >= lo_b
-        else:
-            # opencv parity: strict > against the (clamped, squared-for-l2)
-            # raw-magnitude thresholds; kg > 0 implies keep.
-            lo8 = jnp.clip(lo.astype(jnp.int32), 0, 2048)
-            hi8 = jnp.clip(hi.astype(jnp.int32), 0, 2048)
-            lo_c = lo8 * lo8 if cfg.norm == "l2" else lo8
-            hi_c = hi8 * hi8 if cfg.norm == "l2" else hi8
-            fin, cand = kg > hi_c, kg > lo_c
+            return lo_b - 1, hi_b - 1
+        # opencv parity: strict > against the (clamped, squared-for-l2)
+        # raw-magnitude thresholds; kg > 0 implies keep.
+        lo8 = jnp.clip(lo.astype(jnp.int32), 0, 2048)
+        hi8 = jnp.clip(hi.astype(jnp.int32), 0, 2048)
+        lo_c = lo8 * lo8 if cfg.norm == "l2" else lo8
+        hi_c = hi8 * hi8 if cfg.norm == "l2" else hi8
+        return lo_c, hi_c
+
+    def thresh_map(lo, hi):
+        lo_c, hi_c = cmp_bounds(lo, hi)
         return jnp.where(
-            fin,
+            kg > hi_c,
             jnp.uint8(FINAL_EDGE),
-            jnp.where(cand, jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
+            jnp.where(kg > lo_c, jnp.uint8(CANDIDATE_EDGE), jnp.uint8(NO_EDGE)),
         )
 
     lows = jnp.asarray(lows, jnp.int32)
     highs = jnp.asarray(highs, jnp.int32)
     k = lows.shape[0]
     h, w = kg.shape
-    g = _sweep_group_size(k, h, w)
-    if g <= 1:
-        # Section STACKING doesn't pay here: either only one section fits
-        # the stacked kernel's packed-plane budget (g == 1, e.g. 4K — the
-        # tails still run the solo fused kernel, one launch each), or the
-        # frame doesn't fit the fused kernel at all (8K — _hyster falls
-        # to the chunked XLA loop). Tails dispatch per pair via lax.map.
+    if sweep_ok(k, h, w) and k <= _SWEEP_UNROLL_MAX:
+        # ONE kernel launch for all K tails (hysteresis_fused.sweep_fused):
+        # kg stays resident in VMEM across the K grid steps, each step
+        # classifies it against its pair's prefetch bounds, converges, and
+        # emits its edge map — no per-pair launch/serialization overhead
+        # (the residual the unrolled solo tails below still pay ~35 us
+        # each for), no stacked-section round inflation, kg read from HBM
+        # once. Measured at 1080p/K=16 (tools/sweep_probe.py): 2.75 ms
+        # (lax.map u8 tails, r3) -> 2.28 (section stacking) -> 2.03
+        # (unrolled solo tails) -> this form.
+        bl, bh_ = zip(*(cmp_bounds(lows[i], highs[i]) for i in range(k)))
+        bounds = jnp.stack([x for pair in zip(bl, bh_) for x in pair])
+        maps = sweep_fused(
+            kg, bounds,
+            max_iters=cfg.max_hysteresis_iters,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            interpret=interpret,
+        )
+    elif fused_ok(h, w) and k <= _SWEEP_UNROLL_MAX:
+        # UNROLLED nmsq tails: K is static, so the K kernel invocations
+        # are plain call sites in one compiled program — no lax.map
+        # (whose per-iteration tax measured ~80 us at 1080p), no section
+        # stacking, and no per-pair XLA compare pass: each tail is ONE
+        # hysteresis_fused_nmsq launch that classifies kg against the
+        # pair's prefetch-scalar bounds during its in-kernel pack (the
+        # u8 threshold map never exists). All K tails share ONE kernel
+        # shape, hence one Mosaic compile. Measured at 1080p/K=16
+        # (tools/sweep_probe.py, r4): 2.75 ms (lax.map over u8-map
+        # tails) -> 2.28 (section stacking — loses when section
+        # convergence depths vary: the stack's rounds run to the
+        # SLOWEST section at K-wide round cost) -> 2.03 (unrolled
+        # u8-map tails) -> this form.
+        def nmsq_tail(i):
+            lo_c, hi_c = cmp_bounds(lows[i], highs[i])
+            return hysteresis_fused_nmsq(
+                kg, lo_c, hi_c,
+                max_iters=cfg.max_hysteresis_iters,
+                dilate_steps=cfg.hysteresis_inner_steps,
+                scan_after=cfg.hysteresis_scan_after,
+                interpret=interpret,
+            )
+
+        maps = jnp.stack([nmsq_tail(i) for i in range(k)])
+    else:
+        # Very large K (program-size guard) or frames past the fused
+        # kernel's budget (8K): tails dispatch per pair via lax.map
+        # through _hyster's usual size policy.
         def tail(pair):
             lo, hi = pair
             return _hyster(thresh_map(lo, hi), cfg, interpret)
@@ -233,29 +279,6 @@ def threshold_sweep_pallas(
         # lax.map, not vmap: the fused hysteresis kernel's manual DMA grid
         # doesn't vectorise (same reason the engine batches with lax.map).
         maps = jax.lax.map(tail, (lows, highs))
-    else:
-        # Batched tails: ceil(k/g) stacked-section kernel launches
-        # (hysteresis_fused_batched), each converging g maps at once.
-        # Measured at 1080p/K=16: 2.75 -> ~1.2 ms — the lax.map above
-        # cost ~80 us PER ITERATION on top of the 84 us tail itself
-        # (tools/sweep_probe.py). A short last group repeats the final
-        # pair so every launch shares one kernel shape (one Mosaic
-        # compile); duplicate outputs are dropped.
-        n_groups = -(-k // g)
-        g = -(-k // n_groups)  # rebalance, e.g. K=16 g_max=5 -> 4 groups of 4
-        idx = list(range(k)) + [k - 1] * (n_groups * g - k)
-        outs = []
-        for gi in range(n_groups):
-            grp = idx[gi * g : (gi + 1) * g]
-            tms = jnp.stack([thresh_map(lows[i], highs[i]) for i in grp])
-            outs.append(hysteresis_fused_batched(
-                tms,
-                max_iters=cfg.max_hysteresis_iters,
-                dilate_steps=cfg.hysteresis_inner_steps,
-                scan_after=cfg.hysteresis_scan_after,
-                interpret=interpret,
-            ))
-        maps = jnp.concatenate(outs)[:k]
     counts = (maps == np.uint8(FINAL_EDGE)).sum(axis=(1, 2)).astype(jnp.int32)
     return maps, counts
 

@@ -143,14 +143,7 @@ def _make_pl_shifts(hwp: int, wp: int):
 
 
 def _kernel(
-    thresh_hbm,
-    out_ref,
-    flags_ref,
-    chunk,
-    f_ref,
-    p_ref,
-    sems,
-    *,
+    *refs,
     h: int,
     w: int,
     ch: int,
@@ -163,7 +156,18 @@ def _kernel(
     carry_every: int,
     log_h: int,
     log_w: int,
+    nmsq: bool,
 ):
+    # nmsq mode prepends a (2,) scalar-prefetch ref with the (lo, hi)
+    # comparison bounds; the input is then the RAW int32 NMS-masked
+    # magnitude plane (feedforward.feed_forward_nmsq) and the threshold
+    # classification happens during the pack — no u8 threshold map ever
+    # exists (the sweep's per-pair XLA compare pass and its HBM round
+    # trip are gone).
+    if nmsq:
+        bounds_ref, thresh_hbm, out_ref, flags_ref, chunk, f_ref, p_ref, sems = refs
+    else:
+        thresh_hbm, out_ref, flags_ref, chunk, f_ref, p_ref, sems = refs
     i = pl.program_id(0)
     kw = ch // 32  # word-rows per chunk
     n_last = h - (n_chunks - 1) * ch  # rows in the last chunk (mult of 8)
@@ -181,8 +185,9 @@ def _kernel(
         # ---- pack: DMA chunks in, double buffered; pack both planes -----
         # Zero what the DMAs don't fill: guard lanes of both slots, the
         # last chunk's tail rows, the planes' guard word-row.
-        chunk[0, :, w:] = jnp.zeros((ch, wp - w), jnp.uint8)
-        chunk[1 % min(2, n_chunks), :, w:] = jnp.zeros((ch, wp - w), jnp.uint8)
+        cdt = jnp.int32 if nmsq else jnp.uint8
+        chunk[0, :, w:] = jnp.zeros((ch, wp - w), cdt)
+        chunk[1 % min(2, n_chunks), :, w:] = jnp.zeros((ch, wp - w), cdt)
         f_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
         p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
 
@@ -194,7 +199,7 @@ def _kernel(
             dma(k % 2, k).wait()
             if k == n_chunks - 1 and n_last < ch:
                 chunk[k % 2, n_last:, :] = jnp.zeros(
-                    (ch - n_last, wp), jnp.uint8
+                    (ch - n_last, wp), cdt
                 )
             # Upcast before comparing: Mosaic has no packed-i8 vector
             # compare on this target, same reason the FF slab upcasts.
@@ -202,8 +207,17 @@ def _kernel(
             # int32 modular adds of distinct powers of two == the u32 OR
             # (Mosaic: u32 reductions unimplemented; verified in
             # tools/hyster_kernel_probe.py).
-            fb = (t == FINAL_EDGE).astype(jnp.int32)
-            pb = (t == CANDIDATE_EDGE).astype(jnp.int32)
+            if nmsq:
+                # Strict > against the prefetch bounds; the CANDIDATE
+                # plane must EXCLUDE finals exactly as bitpack.pack_pair
+                # does (scan carries regenerate at finals rather than
+                # propagating through them — a bit-exactness contract,
+                # not just a fixed-point one).
+                fb = (t > bounds_ref[1]).astype(jnp.int32)
+                pb = (t > bounds_ref[0]).astype(jnp.int32) * (1 - fb)
+            else:
+                fb = (t == FINAL_EDGE).astype(jnp.int32)
+                pb = (t == CANDIDATE_EDGE).astype(jnp.int32)
             f_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
                 fb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
             ).astype(jnp.uint32)
@@ -279,44 +293,70 @@ def _fused_call(
     interpret: bool,
     log_h: int,
     log_w: int,
+    bounds=None,
 ):
     h, w = thresh.shape
+    nmsq = bounds is not None
     ch, n_chunks, hwp, wp = _geometry(h, w)
     kern = functools.partial(
         _kernel,
         h=h, w=w, ch=ch, n_chunks=n_chunks, hwp=hwp, wp=wp,
         dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
-        log_h=log_h, log_w=log_w,
+        log_h=log_h, log_w=log_w, nmsq=nmsq,
     )
-    out, flags = pl.pallas_call(
-        kern,
-        grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec((ch, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_chunks * ch, w), jnp.uint8),
-            jax.ShapeDtypeStruct((1, 2), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, ch, wp), jnp.uint8),
-            pltpu.VMEM((hwp, wp), jnp.uint32),
-            pltpu.VMEM((hwp, wp), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # The scan rounds hold ~8 plane-sized temporaries live; at 4K
-            # that puts the conservative scoped accounting past the 16 MB
-            # default. v5e VMEM is physically larger — raise the cap (the
-            # 1080p program stays under the default either way).
-            vmem_limit_bytes=64 * 1024 * 1024,
+    out_specs = [
+        pl.BlockSpec(
+            (ch, w),
+            (lambda i, b: (i, 0)) if nmsq else (lambda i: (i, 0)),
+            memory_space=pltpu.VMEM,
         ),
-        interpret=interpret,
-    )(thresh)
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_chunks * ch, w), jnp.uint8),
+        jax.ShapeDtypeStruct((1, 2), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((2, ch, wp), jnp.int32 if nmsq else jnp.uint8),
+        pltpu.VMEM((hwp, wp), jnp.uint32),
+        pltpu.VMEM((hwp, wp), jnp.uint32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        # The scan rounds hold ~8 plane-sized temporaries live; at 4K
+        # that puts the conservative scoped accounting past the 16 MB
+        # default. v5e VMEM is physically larger — raise the cap (the
+        # 1080p program stays under the default either way).
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+    if nmsq:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # (lo, hi) comparison bounds
+            grid=(n_chunks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        )
+        out, flags = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=params,
+            interpret=interpret,
+        )(jnp.asarray(bounds, jnp.int32).reshape(2), thresh)
+    else:
+        out, flags = pl.pallas_call(
+            kern,
+            grid=(n_chunks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            compiler_params=params,
+            interpret=interpret,
+        )(thresh)
     return out[:h] if n_chunks * ch != h else out, flags
 
 
@@ -367,6 +407,241 @@ def hysteresis_fused(
     if return_iters:
         return out, flags[0, 0]
     return out
+
+
+def hysteresis_fused_nmsq(
+    kg: jnp.ndarray,
+    lo_cmp: jnp.ndarray,
+    hi_cmp: jnp.ndarray,
+    max_iters: int = 100,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused threshold + hysteresis straight from the RAW int32 NMS-masked
+    magnitude plane (``feedforward.feed_forward_nmsq``'s ``keep * g``):
+    the per-pair classification is a strict-``>`` compare against the
+    TRACED scalar bounds during the in-kernel pack, so no u8 threshold
+    map ever exists — this is the threshold sweep's tail
+    (ops/pallas/canny.threshold_sweep_pallas): K pairs reuse ONE kernel
+    shape with different prefetch scalars (zero recompiles), each tail
+    one launch, no per-pair XLA compare pass and no 2 MB u8 round trip.
+
+    ``lo_cmp``/``hi_cmp`` are the comparable-domain bounds (already
+    squared for L2 / already the bound-1 form in reference parity —
+    ops/pallas/canny.py derives them per parity domain); FINAL is
+    ``kg > hi_cmp``, CANDIDATE is ``lo_cmp < kg <= hi_cmp`` — exactly
+    ``pack_pair``'s planes for the equivalent u8 map, so the output is
+    bit-identical to ``hysteresis_fused(thresh_map)`` including under
+    cap truncation (the shared-schedule contract). Zero padding is exact:
+    pad cells hold kg == 0 and the bounds are clamped non-negative."""
+    h, w = kg.shape
+    hp, wp = _pad_shape(h, w)
+    k_in = (
+        kg if (hp, wp) == (h, w)
+        else jnp.pad(kg, ((0, hp - h), (0, wp - w)))
+    )
+    bounds = jnp.stack([
+        jnp.maximum(jnp.asarray(lo_cmp, jnp.int32), np.int32(0)),
+        jnp.maximum(jnp.asarray(hi_cmp, jnp.int32), np.int32(0)),
+    ])
+    out, _ = _fused_call(
+        k_in, max_iters, dilate_steps, scan_after,
+        bitpack._CARRY_EVERY, interpret, h, w, bounds,
+    )
+    return out[:h, :w] if (hp, wp) != (h, w) else out
+
+
+def _sweep_kernel(
+    bounds_ref,
+    kg_hbm,
+    out_ref,
+    kg_ref,
+    f_ref,
+    p_ref,
+    sems,
+    *,
+    h: int,
+    w: int,
+    hp: int,
+    ch: int,
+    n_chunks: int,
+    hwp: int,
+    wp: int,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+):
+    i = pl.program_id(0)  # one grid step per (low, high) pair
+    kw = ch // 32
+
+    @pl.when(i == 0)
+    def _():
+        # kg becomes RESIDENT: one DMA for the whole sweep. The scratch
+        # is padded to whole chunks; zero the guard lanes and tail rows
+        # the DMA leaves unfilled (kg == 0 is below every bound).
+        cp = pltpu.make_async_copy(
+            kg_hbm,
+            kg_ref.at[pl.ds(0, hp), pl.ds(0, kg_hbm.shape[1])],
+            sems.at[0],
+        )
+        cp.start()
+        cp.wait()
+        if kg_hbm.shape[1] < wp:
+            kg_ref[:, kg_hbm.shape[1] :] = jnp.zeros(
+                (kg_ref.shape[0], wp - kg_hbm.shape[1]), jnp.int32
+            )
+        if kg_ref.shape[0] > hp:
+            kg_ref[hp:, :] = jnp.zeros(
+                (kg_ref.shape[0] - hp, wp), jnp.int32
+            )
+
+    # ---- classify + pack this pair's planes from the RESIDENT kg -------
+    f_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+    p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
+    lo_c = bounds_ref[2 * i]
+    hi_c = bounds_ref[2 * i + 1]
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    for k in range(n_chunks):
+        t = kg_ref[k * ch : (k + 1) * ch, :]
+        fb = (t > hi_c).astype(jnp.int32)
+        pb = (t > lo_c).astype(jnp.int32) * (1 - fb)
+        f_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
+            fb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        p_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
+            pb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
+        ).astype(jnp.uint32)
+
+    # ---- both convergence phases (the shared factory schedule) ---------
+    dilates, scans = bitpack._make_ops(
+        h, w, dilate_steps, carry_every=carry_every,
+        shifts=_make_pl_shifts(hwp, wp),
+    )
+    p = p_ref[:, :]
+
+    def rounder(op):
+        def round_once(carry):
+            it, _ = carry
+            f = f_ref[:, :]
+            nf = op(f, p)
+            f_ref[:, :] = nf
+            return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+        return round_once
+
+    round1 = rounder(dilates)
+    round2 = rounder(lambda f, p: scans(dilates(f, p), p))
+    cap1 = min(scan_after, max_iters)
+    it, changed = round1((jnp.int32(0), jnp.int32(0)))
+    it, changed = jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+    )
+    jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < max_iters), round2, (it, changed)
+    )
+
+    # ---- unpack into this step's pipelined output block ----------------
+    io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
+    for k in range(hwp - 1):
+        word = f_ref[pl.ds(k, 1), pl.ds(0, w)]
+        bits = (jnp.broadcast_to(word, (32, w)) >> io32) & jnp.uint32(1)
+        out_ref[0, k * 32 : (k + 1) * 32, :] = (
+            bits * jnp.uint32(FINAL_EDGE)
+        ).astype(jnp.uint8)
+
+
+def sweep_ok(k: int, h: int, w: int) -> bool:
+    """True when the K-pair resident-kg sweep kernel fits VMEM: the kg
+    plane (int32) + two packed planes + the output block, with phase-2
+    scan temporaries — 1080p (~13 MB) and 4K (~48 MB) qualify under the
+    raised 64 MB cap; 8K's 136 MB kg plane does not."""
+    hp, wpad = _pad_shape(h, w)
+    _, _, hwp, wp = _geometry(hp, wpad)
+    kg_bytes = hp * wp * 4
+    plane = hwp * wp * 4
+    out_block = -(-hp // 32) * 32 * w
+    return (
+        k >= 1
+        and plane <= _PLANE_BUDGET
+        and kg_bytes + 8 * plane + out_block <= 52 * 1024 * 1024
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters", "dilate_steps", "scan_after", "carry_every", "interpret",
+    ),
+)
+def sweep_fused(
+    kg: jnp.ndarray,
+    bounds: jnp.ndarray,
+    max_iters: int = 100,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    carry_every: int = bitpack._CARRY_EVERY,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ALL K threshold-sweep tails in ONE kernel launch: the int32
+    NMS-masked magnitude plane (``feed_forward_nmsq``) is DMA'd into VMEM
+    once and stays RESIDENT; each grid step classifies it against one
+    (lo, hi) prefetch bound pair, converges that pair's packed planes
+    through both factory-schedule phases, and emits its edge map as a
+    pipelined output block. Per-pair cost is sum(rounds_i) on solo-sized
+    planes (no stacked-section round inflation) with kg read from HBM
+    once and ZERO per-pair launch/serialization overhead — the residual
+    the unrolled solo tails still paid ~35 us each for
+    (tools/sweep_probe.py, r4). ``bounds`` is (2K,) int32
+    [lo_0, hi_0, lo_1, hi_1, ...] in the comparable domain
+    (hysteresis_fused_nmsq's contract). Returns (K, H, W) uint8 edge
+    maps, each bit-identical to the solo fused/XLA tail (shared
+    schedule). The reference's analog is K full kernel-chain relaunches
+    (cannyEdgeH.cu:49-120)."""
+    h, w = kg.shape
+    k = bounds.shape[0] // 2
+    hp, wpad = _pad_shape(h, w)
+    kg_in = (
+        kg if (hp, wpad) == (h, w)
+        else jnp.pad(kg, ((0, hp - h), (0, wpad - w)))
+    )
+    ch, n_chunks, hwp, wp = _geometry(hp, wpad)
+    out_rows = (hwp - 1) * 32
+    kern = functools.partial(
+        _sweep_kernel,
+        h=h, w=w, hp=hp, ch=ch, n_chunks=n_chunks, hwp=hwp, wp=wp,
+        dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # (2K,) bounds
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, out_rows, w), lambda i, b: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_chunks * ch, wp), jnp.int32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((k, out_rows, w), jnp.uint8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.maximum(jnp.asarray(bounds, jnp.int32), np.int32(0)), kg_in)
+    return out[:, :h, :]
 
 
 def _sat_kernel(
@@ -540,10 +815,14 @@ def hysteresis_fused_batched(
       bits (the docs/parity.md contract).
 
     This amortizes the per-launch costs a solo tail pays (kernel entry,
-    pack/unpack ramp, output drain) and — the measured dominator — lets
-    the threshold sweep drop ``lax.map``, whose per-iteration overhead was
-    ~80 us at 1080p (tools/sweep_probe.py): K tails collapse to
-    ceil(K / g) launches. The reference's only analog is K full
+    pack/unpack ramp, output drain). When it pays: many sections of
+    SIMILAR convergence depth. When it doesn't: varied depths — the
+    stack's rounds run until the slowest section converges at
+    g-section-wide round cost (~ g x max(rounds_i)) while solo launches
+    pay only sum(rounds_i), which is why the r4 threshold sweep unrolls
+    SOLO tails instead (measured at 1080p/K=16: unrolled 1.48 ms vs
+    2.28 stacked vs 2.75 lax.map — ops/pallas/canny.py,
+    tools/sweep_probe.py). The reference's only analog is K full
     relaunch loops (/root/reference/src/cvp/cannyEdgeH.cu:297-338)."""
     g, h, w = threshs.shape
     stride = _section_stride(h)

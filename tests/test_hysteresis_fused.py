@@ -177,30 +177,46 @@ class TestBatchedSections:
 
 
 @pytest.mark.slow
-class TestSweepMultiGroup:
-    """threshold_sweep_pallas' multi-group path (ADVICE r3): a K that does
-    not divide into one stacked launch must split into several
-    duplicate-padded groups and still match the XLA sweep bit-for-bit."""
+class TestSweepDispatch:
+    """threshold_sweep_pallas' two tail dispatches — unrolled solo
+    kernels (the r4 default; measured fastest, ops/pallas/canny.py) and
+    the lax.map fallback (K past the unroll guard, or frames past the
+    fused kernel's budget) — must both match the XLA sweep
+    bit-for-bit."""
 
-    def test_non_divisible_k_groups(self, monkeypatch):
+    def _case(self):
         from cudacam_tpu.config import CannyConfig
         from cudacam_tpu.ops import xla_ops
-        from cudacam_tpu.ops.pallas import canny as pl_canny
 
         rng = np.random.default_rng(3)
         frame = rng.integers(0, 255, size=(64, 256, 3), dtype=np.uint8)
         cfg = CannyConfig(height=64, width=256)
         lows = np.array([5, 10, 20, 30, 40], np.int32)
         highs = np.array([40, 50, 60, 80, 90], np.int32)
-        # Force 3 groups of 2 (K=5 pads a duplicate of the last pair).
-        monkeypatch.setattr(
-            pl_canny, "_sweep_group_size", lambda k, h, w: 2
+        want = xla_ops.threshold_sweep(
+            jnp.asarray(frame), jnp.asarray(lows), jnp.asarray(highs), cfg
         )
+        return frame, cfg, lows, highs, want
+
+    def test_unrolled_tails(self):
+        from cudacam_tpu.ops.pallas import canny as pl_canny
+
+        frame, cfg, lows, highs, (want_maps, want_counts) = self._case()
         maps, counts = pl_canny.threshold_sweep_pallas(
             jnp.asarray(frame), lows, highs, cfg, interpret=True
         )
-        want_maps, want_counts = xla_ops.threshold_sweep(
-            jnp.asarray(frame), jnp.asarray(lows), jnp.asarray(highs), cfg
+        np.testing.assert_array_equal(np.asarray(maps), np.asarray(want_maps))
+        np.testing.assert_array_equal(
+            np.asarray(counts), np.asarray(want_counts)
+        )
+
+    def test_lax_map_fallback(self, monkeypatch):
+        from cudacam_tpu.ops.pallas import canny as pl_canny
+
+        frame, cfg, lows, highs, (want_maps, want_counts) = self._case()
+        monkeypatch.setattr(pl_canny, "_SWEEP_UNROLL_MAX", 2)
+        maps, counts = pl_canny.threshold_sweep_pallas(
+            jnp.asarray(frame), lows, highs, cfg, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(maps), np.asarray(want_maps))
         np.testing.assert_array_equal(
