@@ -45,6 +45,7 @@ class CannyApp:
         final_stage: CannyStage = CannyStage.HYSTER,
         ring_capacity: int = 8,
         profiling: bool = False,
+        profiling_mode: str = "auto",
     ) -> None:
         self._source = source
         source.start()
@@ -58,6 +59,7 @@ class CannyApp:
             )
         self._cfg = config
         self._engine = CannyEngine(config, profiling=profiling)
+        self._engine.profiling_mode = profiling_mode
         self._ring = DeviceRingBuffer(ring_capacity)
         self._fps = FpsMeter()
         self._stage = CannyStage(final_stage)

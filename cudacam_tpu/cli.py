@@ -67,7 +67,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         low_threshold=args.low, high_threshold=args.high,
     )
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),
-                  profiling=args.profile) as app:
+                  profiling=args.profile,
+                  profiling_mode=args.profile_mode) as app:
         app.display_mode = args.display
         app.max_fps = args.max_fps
         raw_frames = [] if args.record_input else None
@@ -293,6 +294,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_pipeline_args(pr)
     pr.add_argument("--profile", action="store_true",
                     help="per-stage timing table (forces per-stage sync)")
+    pr.add_argument("--profile-mode", default="auto",
+                    choices=("auto", "stages", "cumulative", "device"),
+                    help="per-stage timing source with --profile: "
+                         "'device' samples XProf device-lane time "
+                         "(hardware truth on tunneled TPUs; wall clocks "
+                         "there are indicative only)")
     pr.add_argument("--interactive", action="store_true",
                     help="terminal key controls on the running stream "
                          "(space=pause, s=stage, p=pipeline, [/]/{/}= "

@@ -638,8 +638,13 @@ class CannyEngine(ThresholdControls):
         jax.block_until_ready(self.process(dummy, final_stage))
         if self._profiling:
             # Drop the warmup samples: they time trace+compile, not kernels,
-            # and would dominate the per-stage averages.
+            # and would dominate the per-stage averages. The device-lane
+            # sample keys are dropped too so the first REAL frame
+            # re-samples (its table entries were just reset with the rest).
             self._timers.reset()
+            self._profile_warmed = {
+                k for k in self._profile_warmed if k[0] != "devsample"
+            }
 
     def profiling_table(self) -> str:
         return self._timers.table()
