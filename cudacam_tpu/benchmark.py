@@ -225,9 +225,10 @@ def full_table() -> None:
             ("per-frame convergence depth varies with content; the "
              "fixed-scene rows above isolate the batching overhead itself"
              if mixed else
-             "identical frames: measures batching, expected within noise "
-             "of the single-frame row (lax.map back-to-back in one "
-             "executable; dispatch amortized)"))
+             "identical frames: measures batching itself — frames run "
+             "back-to-back via lax.map in one executable (~17 us/frame "
+             "of map overhead vs the single-frame row; unrolled call "
+             "sites measured WORSE, see engine._map_batch), flat in B"))
 
     # Threshold sweep (BASELINE.json config 3): K (low, high) pairs in one
     # compiled program — on the pallas backend this runs the PRODUCTION
@@ -261,11 +262,13 @@ def full_table() -> None:
     run_spiral()
     dev, wall = _measure_ms_per_frame(run_spiral, 1, on_tpu)
     add("hysteresis worst case (1080p spiral)", dev, wall,
-        "single ~1M-px chain; cap-bounded (docs/parity.md). Through the "
-        "streaming engine (megakernel + XLA phase-2 continuation) the "
-        "same input costs ~3.1 ms — the continuation's XLA scan rounds "
-        "run ~1.4x the in-kernel ones; both are adversarial-input "
-        "ceilings, not scene behavior (docs/performance.md)")
+        "single ~1M-px chain; cap-bounded (docs/parity.md). The derived "
+        "scan_after=64 default truncates the EXPENSIVE scan rounds at "
+        "the 100-round cap (r3's sa=12 row was 2.08 ms); through the "
+        "streaming engine (megakernel + taken XLA phase-2 continuation) "
+        "the same input costs ~1.9 ms (was ~3.1). Both are "
+        "adversarial-input ceilings, not scene behavior "
+        "(docs/performance.md)")
 
     # Sharded path (BASELINE >=80% scaling target; no pod attached — see
     # the Sharded section writer): the measurable single-chip piece is the

@@ -122,6 +122,23 @@ def _trace_cfg(cfg: CannyConfig) -> CannyConfig:
     )
 
 
+def _map_batch(single: Callable) -> Callable:
+    """Per-frame sequential dispatch inside one compiled program.
+    lax.map, not vmap: the Pallas kernels use manual DMA grids that
+    don't vectorise. And lax.map, not UNROLLED call sites: unrolling a
+    x4 1080p batch measured 172.6 us/frame vs lax.map's ~155 (vs 138
+    single-frame) — per-call-site cost of the megakernel + its
+    continuation cond exceeds the map's per-iteration overhead, the
+    OPPOSITE of the threshold sweep's unroll result where the tails are
+    small homogeneous kernels (probed r4; the sweep's real fix was the
+    resident-kg single launch, hysteresis_fused.sweep_fused)."""
+
+    def batched_fn(f, lo, hi):
+        return jax.lax.map(lambda fr: single(fr, lo, hi), f)
+
+    return batched_fn
+
+
 def _compiled_to_stage(
     cfg: CannyConfig, backend: str, stage: CannyStage, batched: bool
 ) -> Callable:
@@ -143,13 +160,7 @@ def _compiled_to_stage_cached(
             )
 
         if batched:
-            single = base
-            # lax.map, not vmap: the Pallas kernels use manual DMA grids
-            # that don't vectorise; sequential per-frame calls inside one
-            # compiled program.
-            base = lambda f, lo, hi: jax.lax.map(
-                lambda fr: single(fr, lo, hi), f
-            )
+            base = _map_batch(base)
     else:
         base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
         if batched:
@@ -172,10 +183,7 @@ def _compiled_all_stages_cached(
             f, lo, hi, cfg, interpret=cfg.interpret
         )
         if batched:
-            single = base
-            base = lambda f, lo, hi: jax.lax.map(
-                lambda fr: single(fr, lo, hi), f
-            )
+            base = _map_batch(base)
     else:
         base = lambda f, lo, hi: xla_ops.canny_all_stages(f, lo, hi, cfg)
         if batched:
