@@ -445,6 +445,18 @@ out_s3 = np.asarray(
 if not np.array_equal(out_s3[0], ref_m):
     failures.append(f"sharded saturate kernel n={(out_s3[0] != ref_m).sum()}")
 
+# Grayscale (channels=1) sharded mega-export on hardware: the channel-free
+# ingest through the export-mode kernel.
+gr_s = oracle.rgb2mono(fr_m)
+cfg_s4 = CannyConfig(height=64, width=256, channels=1)
+run4 = build_sharded_pipeline(cfg_s4, mesh, backend="pallas")
+ref_s4 = oracle.canny_pipeline(gr_s, 10, 40)["hyster"]
+out_s4 = np.asarray(
+    run4(shard_frame(jnp.asarray(gr_s[None]), mesh), jnp.int32(10), jnp.int32(40))
+)
+if not np.array_equal(out_s4[0], ref_s4):
+    failures.append(f"sharded gray mega-export n={(out_s4[0] != ref_s4).sum()}")
+
 # Engine production path on the pallas backend: single frame, batched
 # (lax.map), stage selection, runtime threshold change without recompile.
 from cudacam_tpu.engine import CannyEngine

@@ -220,6 +220,36 @@ class TestInjectableSaturate:
         )
 
 
+class TestPackedGeo:
+    """make_geo invariants: granule alignment for the Pallas path, slot
+    clamping for small tiles, zero slots on single-shard axes."""
+
+    def test_granule_alignment(self):
+        from cudacam_tpu.parallel.packed_halo import make_geo
+
+        for h, w in [(540, 960), (1080, 1920), (135, 240), (64, 96)]:
+            g = make_geo(h, w, granule=True)
+            assert g.ext_h % 8 == 0 and g.ext_w % 128 == 0, (h, w, g)
+            assert g.e_top >= min(32, h) and g.e_left >= min(64, w)
+            assert g.plane_rows > g.hw  # guard word-row present
+            assert g.plane_lanes >= g.ext_w + 128
+
+    def test_slots_clamped_to_tile(self):
+        from cudacam_tpu.parallel.packed_halo import make_geo
+
+        g = make_geo(8, 12)
+        assert g.e_top == 8 and g.e_left == 12  # a shard exports what it owns
+
+    def test_single_shard_axes_have_no_slots(self):
+        from cudacam_tpu.parallel.packed_halo import make_geo
+
+        g = make_geo(1080, 1920, granule=True, ny=1, nx=1)
+        assert (g.e_top, g.e_bot, g.e_left, g.e_right) == (0, 0, 0, 0)
+        assert (g.ext_h, g.ext_w) == (1080, 1920)  # degenerate = raw tile
+        g2 = make_geo(540, 1920, granule=True, ny=2, nx=1)
+        assert g2.e_top > 0 and g2.e_left == 0  # row-only mesh
+
+
 class TestPackedHaloUnits:
     """Unit coverage of the bit-strip juggling in packed_halo: extraction
     and OR-placement at arbitrary (misaligned, negative, capped) bit
