@@ -77,11 +77,13 @@ class CannyConfig:
     # bit-identical even when the cap truncates.
     max_hysteresis_iters: int = 100
     # Bit-parallel dilations fused per round/convergence check. Default
-    # (None): 16 at <=1080p, 32 on mega-frames. The optimum tracks the
-    # SCENE's propagation depth, not the frame diameter (measured 4K
-    # scenes want ~48, 8K scenes ~16 — tools/hyster_breakdown.py and the
-    # ds/sa sweep in docs/performance.md), so the default stays a robust
-    # middle and the knob is exposed for depth-atypical content.
+    # (None): 16 everywhere except 32 in the 4K band. The optimum tracks
+    # the SCENE's propagation depth, not the frame diameter, and the
+    # waste of overshooting convergence grows with both the step count
+    # and the state size (r4 megakernel sweep,
+    # tools/megaframe_ds_probe.py: 4K 740/750/770 us at ds 32/48/64; 8K
+    # 1989/2101/2163 at 16/32/48). The knob is exposed for
+    # depth-atypical content.
     hysteresis_inner_steps: Optional[int] = None
     # Rounds of pure dilation before escalating to the 8-direction
     # carry-lookahead scans (long straight candidate runs). Default
@@ -127,13 +129,17 @@ class CannyConfig:
         side = max(self.height, self.width)
         if self.hysteresis_inner_steps is None:
             # Derived default (frozen dataclass, hence object.__setattr__):
-            # 32 on mega-frames amortizes the per-round convergence check
-            # over their bigger state; capped there because scene depth
-            # does NOT grow with the diameter (8K scenes measured FASTER
-            # at 16 than 64 — the waste of overshooting convergence grows
-            # with both the step count and the state size).
+            # 32 in the 4K band amortizes the per-round convergence check
+            # over the bigger state; 16 everywhere else. Scene propagation
+            # depth does NOT grow with the frame diameter, and the waste
+            # of overshooting convergence grows with both the step count
+            # and the state size — at 8K a ds=32 round costs ~146 µs and
+            # the scene measures FASTER at 16 (1989 vs 2101 µs,
+            # tools/megaframe_ds_probe.py; 4K: 740 at 32 vs 750 at 48).
             object.__setattr__(
-                self, "hysteresis_inner_steps", 16 if side <= 2048 else 32
+                self,
+                "hysteresis_inner_steps",
+                32 if 2048 < side <= 4096 else 16,
             )
         elif self.hysteresis_inner_steps < 1:
             raise ValueError("hysteresis_inner_steps must be >= 1")

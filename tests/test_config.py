@@ -35,13 +35,14 @@ class TestValidation:
 
 
 class TestDerivedInnerSteps:
-    """hysteresis_inner_steps defaults to 16 (<=1080p) / 32 (mega-frames):
+    """hysteresis_inner_steps defaults to 16, except 32 in the 4K band:
     the optimum tracks scene propagation depth, not the frame diameter,
-    so the default is a robust middle (tools/hyster_breakdown.py)."""
+    and overshoot waste grows with the state size — the 8K scene
+    measures faster at 16 (tools/megaframe_ds_probe.py, r4)."""
 
     @pytest.mark.parametrize(
         "h,w,want",
-        [(480, 640, 16), (1080, 1920, 16), (2160, 3840, 32), (4320, 7680, 32)],
+        [(480, 640, 16), (1080, 1920, 16), (2160, 3840, 32), (4320, 7680, 16)],
     )
     def test_scales_with_diameter(self, h, w, want):
         assert CannyConfig(height=h, width=w).hysteresis_inner_steps == want

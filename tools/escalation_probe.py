@@ -5,6 +5,13 @@ ks=3 scenes routinely outgrow ``hysteresis_scan_after=12`` phase-1 rounds
 and the engine then pays the TAKEN XLA phase-2 continuation (~658 us),
 even though a phase-1 dilation round costs only ~5.2 us — two orders less.
 
+CAVEAT (kept for the record): the per-config STREAM rows below are
+invalid — the 8 chained pipeline calls inside one jit return only the
+last result, so XLA dead-code-eliminates the first 7 (the rows measure
+one frame). escalation_probe2.py re-measures streams with one dispatch
+per frame; THIS probe's valid outputs are the flags (phase-1 exit
+rounds / escalate frequency) and the spiral continuation costs.
+
 This probe measures, on the 8-scene bench stream:
   * per-config mega_pipeline device time at a sweep of scan_after values
     (ks=3 and ks=5);
