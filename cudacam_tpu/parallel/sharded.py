@@ -211,7 +211,7 @@ def build_sharded_pipeline(
     if local_saturate is not None:
         saturate = local_saturate
     elif use_mega and _pl_saturate_ok(geo):
-        saturate = pallas_packed_saturate(cfg, geo)
+        saturate = pallas_packed_saturate(cfg, geo, interpret=cfg.interpret)
     else:
         # Portable — and also the route for tiles whose planes exceed the
         # SCAN kernel's budget (the saturate kernel carries the
@@ -390,12 +390,15 @@ def build_sharded_pipeline(
             dilate_steps=cfg.hysteresis_inner_steps,
             scan_after=cfg.hysteresis_scan_after,
             max_iters=cfg.max_hysteresis_iters,
+            interpret=cfg.interpret,
         )
         f = packed_hysteresis_loop(
             f, p, flags[0, 1] == 1, geo, saturate, AXES, ny, nx,
             cfg.max_hysteresis_iters,
         )
-        return unpack_core_call(f, geo.e_top, geo.e_left, h_loc, w_loc)
+        return unpack_core_call(
+            f, geo.e_top, geo.e_left, h_loc, w_loc, interpret=cfg.interpret
+        )
 
     @functools.partial(
         shard_map,

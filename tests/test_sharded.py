@@ -314,3 +314,30 @@ class TestPackedHaloUnits:
         # bits 100..109 set, nothing else; word 3 holds bits 96..127
         assert (got[:3] == 0).all()
         assert (got[3] == (((1 << 10) - 1) << 4)).all()
+
+
+@pytest.mark.slow
+class TestShardedMegaInterpret:
+    """The Pallas sharded hot path — export-mode megakernel + packed strip
+    exchange + fused saturate kernel + unpack kernel — composed across
+    REAL shard boundaries, in interpret mode on the virtual mesh (no
+    multi-chip hardware is attached to this deployment; the TPU
+    subprocess test covers the same composition on one real chip at
+    1x1x1). A 2-row mesh with mega-eligible tiles (>= 40x192) and a
+    cross-shard snake forces collective rounds through the kernels."""
+
+    def test_two_shard_mega_composition(self):
+        h, w = 96, 384  # 48x384 tiles: use_mega on both shards
+        frame = np.zeros((h, w), np.uint8)
+        # Vertical intensity ramp: finals only near the top, an unbroken
+        # candidate chain crossing the shard boundary at row 48.
+        frame[:, 200] = np.linspace(255, 80, h).astype(np.uint8)
+        cfg = CannyConfig(height=h, width=w, channels=1, interpret=True)
+        mesh = make_mesh(batch=1, rows=2, cols=1, devices=jax.devices()[:2])
+        run = build_sharded_pipeline(cfg, mesh, backend="pallas")
+        out = np.asarray(
+            run(jnp.asarray(frame)[None], jnp.int32(5), jnp.int32(90))
+        )[0]
+        exp = oracle.canny_pipeline(frame, low=5, high=90)["hyster"]
+        np.testing.assert_array_equal(out, exp)
+        assert (out[90] == 255).any()  # promotion crossed the shard seam
