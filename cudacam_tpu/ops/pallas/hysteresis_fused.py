@@ -34,6 +34,22 @@ word shifts > 1 word-row) AND the wrapped region with an iota mask to
 reproduce exact zero fill. The same guard-ring idea as the feed-forward
 slab (feedforward.py).
 
+The module grew a small kernel family around that core (all executing the
+ONE factory schedule):
+
+* :func:`hysteresis_fused` — u8 threshold map in, edge map out (above);
+* :func:`hysteresis_fused_nmsq` — raw int32 ``keep*g`` magnitude plane in,
+  classification against traced scalar bounds during the pack (no u8 map
+  ever exists);
+* :func:`sweep_fused` — ALL K threshold-sweep tails in one launch against
+  a VMEM-resident magnitude plane (one grid step per pair);
+* :func:`saturate_packed` — packed planes in/out, both phases, no
+  pack/unpack: the sharded round loop's local operator
+  (parallel/packed_halo.py);
+* :func:`hysteresis_fused_batched` — section-stacked multi-map variant
+  (kept with its bit-exactness pins; the sweep no longer uses it — see
+  its docstring for when stacking pays).
+
 Reference analog being replaced: the host relaunch loop around the
 hysteresis kernel, /root/reference/src/cvp/cannyEdgeH.cu:297-338, and the
 per-block shared-memory iteration of cannyEdgeD.cu:295-377.
