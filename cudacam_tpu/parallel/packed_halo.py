@@ -124,10 +124,13 @@ def make_geo(
 def _extract32(x: jnp.ndarray, b: int) -> jnp.ndarray:
     """(1, lanes) u32 strip of extended rows [b, b+32) of plane ``x``.
     ``b`` may be negative (rows before the tile read as zero; needs
-    b > -32) — strips always span one full word of rows."""
+    b > -32) — strips always span one full word of rows. ``b`` must
+    START inside the plane (b < 32 * rows; exchange offsets derive from
+    core positions, which always do)."""
     if b < 0:
         assert b > -32
         return x[0:1] << np.uint32(-b)
+    assert b < 32 * x.shape[0], (b, x.shape)
     q, r = divmod(b, 32)
     row = x[q : q + 1]
     if r:

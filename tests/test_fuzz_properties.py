@@ -111,3 +111,74 @@ class TestPipelineInvariants:
         flat = np.full_like(frame, frame.flat[0])
         out = oracle.canny_pipeline(flat, 10, 40)["hyster"]
         assert (out[3:-3, 3:-3] == NO_EDGE).all()
+
+
+class TestPackedStripProperties:
+    """Hypothesis coverage of the sharded bit-strip helpers
+    (parallel/packed_halo.py) at ARBITRARY offsets — the fixed-offset
+    units in test_sharded.py pin known cases; these assert the algebraic
+    contracts everywhere."""
+
+    @FAST
+    @given(
+        st.integers(0, 2**31 - 1),
+        st.integers(-31, 150),
+        st.integers(2, 5),
+    )
+    def test_extract_place_roundtrip(self, seed, b, rows):
+        from cudacam_tpu.parallel.packed_halo import _extract32, _or_place32
+
+        rng = np.random.default_rng(seed)
+        lanes = int(rng.integers(1, 9))
+        cap = rows * 32
+        strip = jnp.asarray(
+            rng.integers(0, 2**32, size=(1, lanes), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+        x = jnp.zeros((rows, lanes), jnp.uint32)
+        placed, new = _or_place32(x, strip, b, cap)
+        if b >= cap:
+            # Fully past the plane: placement is a no-op (extraction at
+            # such offsets is outside the helpers' contract — production
+            # offsets always start inside the plane).
+            np.testing.assert_array_equal(np.asarray(placed), np.asarray(x))
+            assert not bool(new)
+            return
+        back = np.asarray(_extract32(placed, max(b, 0)))[0]
+        want = np.asarray(strip)[0]
+        shift = max(b, 0) - b  # rows before the plane drop
+        if shift:
+            want = want >> np.uint32(min(31, shift)) if shift < 32 else want * 0
+        lost = max(0, b + 32 - cap)  # rows past the cap drop
+        if lost >= 32:
+            want = want * 0
+        elif lost:
+            want = want & np.uint32((1 << (32 - lost)) - 1)
+        np.testing.assert_array_equal(back, want)
+        assert bool(new) == bool(want.any())
+        # Idempotence: placing the same strip again adds nothing.
+        placed2, new2 = _or_place32(placed, strip, b, cap)
+        np.testing.assert_array_equal(np.asarray(placed2), np.asarray(placed))
+        assert not bool(new2)
+
+    @FAST
+    @given(st.integers(0, 2**31 - 1), st.integers(-31, 150))
+    def test_place_is_monotone(self, seed, b):
+        from cudacam_tpu.parallel.packed_halo import _or_place32
+
+        rng = np.random.default_rng(seed)
+        lanes = int(rng.integers(1, 9))
+        base = jnp.asarray(
+            rng.integers(0, 2**32, size=(4, lanes), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+        strip = jnp.asarray(
+            rng.integers(0, 2**32, size=(1, lanes), dtype=np.uint64).astype(
+                np.uint32
+            )
+        )
+        placed, _ = _or_place32(base, strip, b, 128)
+        # OR placement only ADDS bits (the monotone-safety contract).
+        assert bool(jnp.all((np.asarray(base) & np.asarray(placed)) == np.asarray(base)))
