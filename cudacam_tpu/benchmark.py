@@ -283,28 +283,36 @@ def full_table() -> None:
             lo1, hi1 = jnp.int32(10), jnp.int32(40)
             # Overhead at 1080p AND at the mega-frame sizes sharding
             # exists for (the N-chip projection's per-chip baselines).
+            # Each row streams the SAME scene set as its unsharded
+            # counterpart, so the rows divide cleanly.
             shard_cases = [
-                ("1080p", cfg, frames[0]),
+                ("1080p", cfg, frames),
                 ("4K", CannyConfig(height=2160, width=3840),
-                 jax.device_put(make_scene(2160, 3840, seed=0))),
+                 [jax.device_put(make_scene(2160, 3840, seed=s))
+                  for s in range(2)]),
                 ("8K", CannyConfig(height=4320, width=7680),
-                 jax.device_put(make_scene(4320, 7680, seed=0))),
+                 [jax.device_put(make_scene(4320, 7680, seed=s))
+                  for s in range(2)]),
             ]
-            for label, cfg_s, fr in shard_cases:
+            for label, cfg_s, frs in shard_cases:
                 run1 = build_sharded_pipeline(cfg_s, mesh1, backend="pallas")
-                fs = shard_frame(fr[None], mesh1)
+                fss = [shard_frame(fr[None], mesh1) for fr in frs]
 
-                def run_sh(run1=run1, fs=fs):
-                    jax.block_until_ready(run1(fs, lo1, hi1))
+                def run_sh(run1=run1, fss=fss):
+                    out = None
+                    for fs in fss:
+                        out = run1(fs, lo1, hi1)
+                    jax.block_until_ready(out)
                 run_sh()
-                dev, wall = _measure_ms_per_frame(run_sh, 1, on_tpu)
+                dev, wall = _measure_ms_per_frame(run_sh, len(fss), on_tpu)
                 add(f"{label} shard_map 1x1x1 mesh [pallas]", dev, wall,
-                    "sharded-framework overhead vs the unsharded rows: "
-                    "one export-mode megakernel launch (FF + pack + "
-                    "phase-1), the packed round loop (converged tiles run "
-                    "ZERO extra saturate rounds — the loop exits on the "
-                    "psum of still-growing|new-halo-bits), one unpack "
-                    "kernel; a 1-shard mesh axis carries zero halo slots")
+                    "sharded-framework overhead vs the unsharded stream "
+                    "row (same scene set): one export-mode megakernel "
+                    "launch (FF + pack + phase-1), the packed round loop "
+                    "(converged tiles run ZERO extra saturate rounds — "
+                    "the loop exits on the psum of "
+                    "still-growing|new-halo-bits), one unpack kernel; a "
+                    "1-shard mesh axis carries zero halo slots")
         except Exception as e:  # pragma: no cover - compile-service hiccup
             print(f"  sharded 1x1x1 row skipped: {e}", file=sys.stderr)
     sharded_lines = _sharded_section()
