@@ -187,6 +187,7 @@ def _kernel(
     img_h: int,
     img_w: int,
     ring: Tuple[int, int],
+    use_origin: bool,
     export_only: bool,
     kernel_size: int,
     grad_coeff: int,
@@ -212,10 +213,14 @@ def _kernel(
     # (img_h, img_w) + origin pin zero-padding to the GLOBAL image border:
     # for the unsharded path they equal (h, w) with origin 0; for a
     # sharded halo-extended tile they are the global frame dims and the
-    # tile's global offset (parallel/sharded.py).
-    valid = ff._valid_mask_i32(
-        i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
-    )
+    # tile's global offset (parallel/sharded.py). use_origin is STATIC:
+    # the unsharded path keeps literal zeros so the valid-mask strips
+    # constant-fold (traced origin scalars measured +~7 us/frame at
+    # 1080p — the r4 regression hunted down via an r3-commit worktree
+    # re-measured same-day).
+    o_r = origin_ref[0] if use_origin else jnp.int32(0)
+    o_c = origin_ref[1] if use_origin else jnp.int32(0)
+    valid = ff._valid_mask_i32(i, o_r, o_c, mono.shape, bh, img_h, img_w)
     thresh = ff._stage_chain(
         mono, valid, lo_ref[0], hi_ref[0],
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
@@ -390,7 +395,7 @@ def canny_mega(
     return _mega_call(
         frame_planar, low, high, None,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
-        img_h=h, img_w=w, ring=(0, 0), export_only=False,
+        img_h=h, img_w=w, ring=(0, 0), use_origin=False, export_only=False,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every, interpret=interpret,
@@ -412,6 +417,7 @@ def _mega_call(
     img_h: int,
     img_w: int,
     ring: Tuple[int, int],
+    use_origin: bool,
     export_only: bool,
     kernel_size: int,
     grad_coeff: int,
@@ -440,7 +446,8 @@ def _mega_call(
     kern = functools.partial(
         _kernel,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
-        img_h=img_h, img_w=img_w, ring=ring, export_only=export_only,
+        img_h=img_h, img_w=img_w, ring=ring, use_origin=use_origin,
+        export_only=export_only,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
@@ -546,7 +553,7 @@ def canny_mega_export(
         frame_ext, low, high, origin,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=eh, w=ew,
         img_h=image_size[0], img_w=image_size[1], ring=ring,
-        export_only=True,
+        use_origin=True, export_only=True,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=bitpack._CARRY_EVERY,
