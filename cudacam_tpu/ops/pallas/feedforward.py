@@ -319,6 +319,7 @@ def _kernel_body(
     out_stages: Tuple[CannyStage, ...],
     n_blocks: int,
     planar: bool,
+    use_origin: bool,
 ):
     """Grid step i: consume slab i (prefetched), prefetch slab i+1, run the
     fused stage chain in VMEM, emit one output block per requested stage
@@ -371,9 +372,12 @@ def _kernel_body(
 
         start_fetch(i % 2, i).wait()
         mono = slab[i % 2].astype(jnp.int32)
-    valid = _valid_mask_i32(
-        i, origin_ref[0], origin_ref[1], mono.shape, bh, img_h, img_w
-    )
+    # use_origin is STATIC: with no tile origin the literal zeros let the
+    # valid-mask strips constant-fold (traced origin scalars measured
+    # ~+6.5 us/frame at 1080p on the megakernel — same effect here).
+    o_r = origin_ref[0] if use_origin else jnp.int32(0)
+    o_c = origin_ref[1] if use_origin else jnp.int32(0)
+    valid = _valid_mask_i32(i, o_r, o_c, mono.shape, bh, img_h, img_w)
 
     def emit(stage, x_i32: jnp.ndarray) -> None:
         if stage in out_stages:
@@ -753,6 +757,7 @@ def _feed_forward_multi(
         out_stages=out_stages,
         n_blocks=n_blocks,
         planar=planar,
+        use_origin=origin is not None,
     )
 
     block = pl.BlockSpec(

@@ -553,7 +553,7 @@ def canny_mega_export(
         frame_ext, low, high, origin,
         bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=eh, w=ew,
         img_h=image_size[0], img_w=image_size[1], ring=ring,
-        use_origin=True, export_only=True,
+        use_origin=origin is not None, export_only=True,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=bitpack._CARRY_EVERY,

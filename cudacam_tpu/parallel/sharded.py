@@ -374,13 +374,20 @@ def build_sharded_pipeline(
             unpack_core_call,
         )
 
-        row0, col0 = _origin()
         ext = extend2d_asym(tile)
+        if ny == 1 and nx == 1:
+            # Degenerate mesh: the tile IS the global frame (zero halo
+            # slots, zero ring) — a None origin keeps the kernel's
+            # valid-mask strips static, exactly the unsharded program.
+            org = None
+        else:
+            row0, col0 = _origin()
+            org = (row0 - geo.e_top, col0 - geo.e_left)
         f, p, flags = canny_mega_export(
             jnp.transpose(ext, (2, 0, 1)) if has_c else ext,
             low,
             high,
-            (row0 - geo.e_top, col0 - geo.e_left),
+            org,
             image_size=(cfg.height, cfg.width),
             ring=(halo if ny > 1 else 0, halo if nx > 1 else 0),
             kernel_size=cfg.kernel_size,
