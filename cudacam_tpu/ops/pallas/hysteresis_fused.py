@@ -559,6 +559,11 @@ def _sweep_kernel(
     )
 
     # ---- unpack into this step's pipelined output block ----------------
+    # (Edge COUNTS deliberately stay an external XLA pass: both in-kernel
+    # forms probed WORSE on this hardware — accumulating i32 sums from
+    # the unpacked bits +85 us, popcount+reduce on the packed plane
+    # +19 us, vs the 53 us XLA pass over the K maps. Mosaic's
+    # full-plane-to-scalar reductions dominate; see docs/performance.md.)
     io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
     for k in range(hwp - 1):
         word = f_ref[pl.ds(k, 1), pl.ds(0, w)]
