@@ -37,6 +37,12 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--parity", default="reference", choices=("reference", "opencv"),
                    help="threshold domain: reference uint8 magnitudes, or "
                         "cv2.Canny's raw Sobel magnitudes (values carry 1:1)")
+    p.add_argument("--continuation", default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="phase-2 hysteresis continuation form: 'pallas' is "
+                        "the opt-in for streams expecting cap-class inputs "
+                        "(~3x cheaper taken phase 2 at 1080p for ~12 us/frame "
+                        "of untaken-branch tax; see CannyConfig.continuation)")
 
 
 def _stages():
@@ -63,7 +69,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     cfg = CannyConfig(
         height=h, width=w, channels=c,
         kernel_size=args.kernel_size, norm=args.norm, backend=args.backend,
-        parity=args.parity,
+        parity=args.parity, continuation=args.continuation,
         low_threshold=args.low, high_threshold=args.high,
     )
     with CannyApp(source, cfg, final_stage=_parse_stage(args.stage),

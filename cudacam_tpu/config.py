@@ -107,6 +107,19 @@ class CannyConfig:
     backend: str = "auto"  # 'pallas' | 'xla' | 'auto'
     parity: str = "reference"  # 'reference' | 'opencv'
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU CI)
+    # Phase-2 hysteresis continuation form on the megakernel path (STATIC —
+    # it changes the compiled program). 'auto' (default): the size policy
+    # of megakernel.canny_mega_pipeline — XLA at <=1080p, where the mere
+    # PRESENCE of the untaken Pallas branch costs ~12 us/frame and phase 2
+    # is adversarial-only; Pallas on mega-frames, where phase 2 is
+    # scene-typical. 'pallas' is the escape hatch for deployments that
+    # EXPECT cap-class inputs (long monotone chains) and will pay the
+    # 12 us/frame branch tax for a ~3x cheaper taken continuation (1080p
+    # spiral through the engine: ~1.9 ms XLA -> ~1.2 ms Pallas,
+    # BENCH_TABLE.md). 'xla' forces the portable form everywhere it is
+    # 'auto'-eligible. Outputs are bit-identical across all three (shared
+    # round schedule, docs/parity.md).
+    continuation: str = "auto"  # 'auto' | 'pallas' | 'xla'
 
     def __post_init__(self) -> None:
         if self.kernel_size not in GAUSSIAN_TAPS:
@@ -119,6 +132,8 @@ class CannyConfig:
             raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
         if self.parity not in ("reference", "opencv"):
             raise ValueError("parity must be 'reference' or 'opencv'")
+        if self.continuation not in ("auto", "pallas", "xla"):
+            raise ValueError("continuation must be 'auto', 'pallas' or 'xla'")
         if self.grad_coeff not in (1, 2, 4, 8):
             # The exact-integer display magnitude (isqrt(m)*coeff)//8 equals
             # the reference's trunc(coeff*sqrt(m)/8) only when coeff divides

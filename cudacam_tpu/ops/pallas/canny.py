@@ -131,6 +131,7 @@ def canny_to_stage_pallas(
             dilate_steps=cfg.hysteresis_inner_steps,
             scan_after=cfg.hysteresis_scan_after,
             max_iters=cfg.max_hysteresis_iters,
+            cont=cfg.continuation,
             interpret=interpret,
         )
     ff_stage = (

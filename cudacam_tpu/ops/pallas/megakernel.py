@@ -861,6 +861,18 @@ def canny_mega_pipeline(
             if h * w >= _CONT_PALLAS_MIN_PX and hwp * wp * 4 <= hfz._PLANE_BUDGET
             else "xla"
         )
+    elif cont == "pallas" and hwp * wp * 4 > hfz._PLANE_BUDGET:
+        # Forced Pallas at a shape whose 8-direction scan kernel does not
+        # compile (8K class: the remote Mosaic compiler never returns on
+        # it — docs/performance.md). Fall back rather than hang a compile.
+        import warnings
+
+        warnings.warn(
+            f"continuation='pallas' unavailable at {h}x{w} (scan kernel "
+            "past the compilable plane budget); using the XLA form",
+            stacklevel=2,
+        )
+        cont = "xla"
 
     if cont == "pallas":
 

@@ -128,9 +128,13 @@ def _extract32(x: jnp.ndarray, b: int) -> jnp.ndarray:
     START inside the plane (b < 32 * rows; exchange offsets derive from
     core positions, which always do)."""
     if b < 0:
-        assert b > -32
+        if b <= -32:
+            raise ValueError(f"strip offset {b} <= -32 (contract: b > -32)")
         return x[0:1] << np.uint32(-b)
-    assert b < 32 * x.shape[0], (b, x.shape)
+    if b >= 32 * x.shape[0]:
+        raise ValueError(
+            f"strip offset {b} starts past the plane ({x.shape[0]} word rows)"
+        )
     q, r = divmod(b, 32)
     row = x[q : q + 1]
     if r:

@@ -264,12 +264,26 @@ def build_sharded_pipeline(
         ff_stage = (
             final_stage if final_stage != CannyStage.HYSTER else CannyStage.THRESH
         )
-        row0, col0 = _origin()
-        g = make_geo(h_loc, w_loc, granule=True)
+        # Mesh-aware geometry: a single-shard axis has no neighbors, so it
+        # carries no halo extension (only granule padding) — and a FULLY
+        # degenerate mesh passes origin=None so the kernel's valid-mask
+        # strips stay static (the same traced-origin constant-fold tax
+        # hyster_pallas_mega avoids, ~7 us/frame; ADVICE r4).
+        g = make_geo(h_loc, w_loc, granule=True, ny=ny, nx=nx)
         if (
             final_stage != CannyStage.MONO
-            and h_loc >= g.e_bot and w_loc >= g.e_right
+            and (ny == 1 or h_loc >= g.e_bot)
+            and (nx == 1 or w_loc >= g.e_right)
         ):
+            if ny == 1 and nx == 1:
+                org = None  # tile IS the global frame (granule pads are
+                # masked via image_size; origin stays a static zero)
+            else:
+                row0, col0 = _origin()
+                org = (
+                    0 if ny == 1 else row0 - g.e_top,
+                    0 if nx == 1 else col0 - g.e_left,
+                )
             ext = _exchange_halo(tile, g.e_top, g.e_bot, 0, ROW_AXIS, ny)
             ext = _exchange_halo(ext, g.e_left, g.e_right, 1, COL_AXIS, nx)
             out = feed_forward_to_stage(
@@ -281,12 +295,13 @@ def build_sharded_pipeline(
                 norm=cfg.norm,
                 parity=cfg.parity,
                 out_stage=ff_stage,
-                origin=(row0 - g.e_top, col0 - g.e_left),
+                origin=org,
                 image_size=(cfg.height, cfg.width),
             )
             return out[
                 g.e_top : g.e_top + h_loc, g.e_left : g.e_left + w_loc
             ]
+        row0, col0 = _origin()
         ext = extend2d(tile, halo)
         mono = xla_ops.rgb2mono(ext)
         if final_stage == CannyStage.MONO:

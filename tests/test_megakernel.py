@@ -217,3 +217,69 @@ class TestMegaExactness:
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+class TestContinuationConfig:
+    """The CannyConfig.continuation escape hatch (VERDICT r4 #7): a
+    deployment expecting cap-class inputs can statically opt the 1080p
+    path into the Pallas continuation (paying the ~12 us untaken-branch
+    tax for a ~3x cheaper TAKEN phase 2); outputs stay bit-identical."""
+
+    def test_config_validates(self):
+        from cudacam_tpu import CannyConfig
+
+        with pytest.raises(ValueError, match="continuation"):
+            CannyConfig(height=32, width=128, continuation="Pallas")
+        for v in ("auto", "pallas", "xla"):
+            assert CannyConfig(
+                height=32, width=128, continuation=v
+            ).continuation == v
+
+    @pytest.mark.parametrize("continuation", ["auto", "pallas", "xla"])
+    def test_flag_flows_to_pipeline(self, continuation):
+        """scan_after=1 forces phase 2 on every form; all three config
+        values must yield the exact XLA-backend output through the
+        production dispatch (canny_to_stage_pallas)."""
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.canny import canny_to_stage_pallas
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 64, 256
+        cfg = CannyConfig(
+            height=h, width=w, hysteresis_scan_after=1,
+            continuation=continuation,
+        )
+        frame = jnp.asarray(make_scene(h, w, seed=7))
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got = np.asarray(
+            canny_to_stage_pallas(
+                frame, lo, hi, cfg, CannyStage.HYSTER, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_forced_pallas_impossible_shape_warns(self):
+        """continuation='pallas' at a plane size whose scan kernel cannot
+        compile must warn and fall back, not hang a Mosaic compile."""
+        from cudacam_tpu.ops.pallas import hysteresis_fused as hfz
+        from cudacam_tpu.ops.pallas import megakernel as mk
+
+        # Find a mega-eligible shape past the fused-kernel plane budget
+        # (the 8K class): mega geometry exists, saturate/scan budget not.
+        h, w = 4320, 7680
+        geo = mk._mega_geometry(h, w)
+        assert geo is not None
+        _, _, hwp, wp = geo
+        assert hwp * wp * 4 > hfz._PLANE_BUDGET
+        # Exercise only the policy branch (no kernel build: interpret-mode
+        # 8K through the real kernel would be minutes on CPU) by checking
+        # the resolver inline — the branch lives in canny_mega_pipeline
+        # before any continuation is traced, so unit-test the predicate.
+        assert mk._CONT_PALLAS_MIN_PX <= h * w
