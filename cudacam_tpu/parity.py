@@ -86,11 +86,19 @@ def compare_frame(
     thresholds passed here are in the reference's uint8 domain and mapped
     by 8/grad_coeff into both. ``parity='reference'`` runs the framework
     in its DEFAULT (reference) domain with the uint8 thresholds as given —
-    the production engine configuration — against cv2 at the scaled
-    thresholds; the reference domain's ``(coeff*sqrt(m))>>3`` truncation
-    makes its effective thresholds slightly coarser, so floors are a
-    little looser there.
+    the production engine configuration — against cv2 at the EXACT
+    magnitude bounds those slider values mean (r4 VERDICT #6): the
+    reference-domain decision ``(coeff*isqrt(m2))>>3 > t`` is equivalent
+    to ``m2 >= s_min**2`` with ``s_min = ceil(8*(t+1)/coeff)``
+    (xla_ops.threshold_magnitude_bound's dualities), and cv2 with
+    L2gradient keeps ``m2 > floor(t_cv**2)``, so ``t_cv =
+    sqrt(s_min**2 - 0.5)`` makes both pipelines apply the IDENTICAL
+    integer threshold — no residual coarsening skew (the naive
+    ``t*8/coeff`` mapping under-set cv2's bound by 2 magnitude units,
+    which alone cost ~10% cv2-within-1px at (30,90); docs/parity.md).
     """
+    import math
+
     import cv2
     import jax.numpy as jnp
 
@@ -100,6 +108,11 @@ def compare_frame(
     cv_low, cv_high = int(low * scale), int(high * scale)
     if parity == "reference":
         ours = _our_canny(frame, low, high, parity="reference")
+        # Exact effective bounds of the reference domain (docstring).
+        s_lo = (8 * (low + 1) + grad_coeff - 1) // grad_coeff
+        s_hi = (8 * (high + 1) + grad_coeff - 1) // grad_coeff
+        cv_low = math.sqrt(s_lo * s_lo - 0.5)
+        cv_high = math.sqrt(s_hi * s_hi - 0.5)
     else:
         ours = _our_canny(frame, cv_low, cv_high, parity="opencv")
     # cv2 on the same observable: OUR fixed-point gray + OUR integer blur

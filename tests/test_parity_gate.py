@@ -67,20 +67,24 @@ _PAIR_GRID = [(10, 40), (20, 60), (30, 90)]
 # Floors per (pair, parity domain), a little under the worst frame
 # measured at gate creation.
 # 'opencv' domain (thresholds carry 1:1 to cv2.Canny): (10,40):
-# 0.979/0.999/0.952; (20,60): 0.977/0.990/0.940; (30,90):
-# 0.866/0.989/0.831 (high thresholds on the deepest-zoom blurry crops
+# 0.979/0.999/0.962; (20,60): 0.977/1.000/0.959; (30,90):
+# 0.866/0.993/0.831 (high thresholds on the deepest-zoom blurry crops
 # keep very few edges, so percentage agreement gets grainy there).
-# 'reference' domain (the production engine default; its
-# (coeff*sqrt(m))>>3 truncation coarsens effective thresholds, loosening
-# the high-threshold rows): (10,40): 0.979/0.993/0.956; (20,60):
-# 0.977/0.985/0.942; (30,90): 0.889/0.891/0.770.
+# 'reference' domain (the production engine default): since r5's EXACT
+# slider-to-magnitude-bound mapping in parity.compare_frame (the
+# (coeff*sqrt(m))>>3 duality — no residual coarsening skew), the
+# reference domain measures WITHIN NOISE OF the opencv domain: (10,40):
+# 0.979/0.999/0.962; (20,60): 0.976/1.000/0.958; (30,90):
+# 0.859/0.995/0.826 (was 0.889/0.891/0.770 under the naive t*8/coeff
+# mapping). The remaining (30,90) gap is one-sided (ours is a structural
+# superset; per-cause decomposition in docs/parity.md).
 _SEQ_MIN = {
     ("opencv", (10, 40)): (0.95, 0.98, 0.92),
     ("opencv", (20, 60)): (0.95, 0.97, 0.91),
     ("opencv", (30, 90)): (0.84, 0.97, 0.80),
-    ("reference", (10, 40)): (0.95, 0.97, 0.92),
-    ("reference", (20, 60)): (0.95, 0.96, 0.91),
-    ("reference", (30, 90)): (0.86, 0.86, 0.74),
+    ("reference", (10, 40)): (0.95, 0.98, 0.92),
+    ("reference", (20, 60)): (0.95, 0.97, 0.91),
+    ("reference", (30, 90)): (0.84, 0.97, 0.80),
 }
 
 
