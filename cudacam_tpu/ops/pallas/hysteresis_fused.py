@@ -488,6 +488,7 @@ def _sweep_kernel(
     scan_after: int,
     max_iters: int,
     carry_every: int,
+    carry_seed: bool = False,
 ):
     i = pl.program_id(0)  # one grid step per (low, high) pair
     kw = ch // 32
@@ -518,14 +519,44 @@ def _sweep_kernel(
     p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
     lo_c = bounds_ref[2 * i]
     hi_c = bounds_ref[2 * i + 1]
+    if carry_seed:
+        # Monotone warm start (VERDICT r4 #4): when the PREVIOUS grid
+        # step's pair dominates this one (lo_prev >= lo, hi_prev >= hi),
+        # its converged result is a subset of this pair's fixed point
+        # (fewer finals, fewer candidates, reachability monotone in
+        # both), so its plane — still resident in f_ref from step i-1 —
+        # is a valid under-approximation to seed from: OR it over this
+        # pair's own seeds and converge from there. Round savings ~ the
+        # delta between consecutive results instead of the full depth.
+        # The check is per-step against the prefetch bounds, so unsorted
+        # pair lists degrade to cold starts, never to wrong bits. A
+        # seeded state is indistinguishable from a mid-convergence state
+        # (f grows into candidate positions while p stays static), so
+        # the round operators need no changes; CONVERGED outputs are
+        # bit-identical to cold starts (the fixed point is unique), only
+        # cap-TRUNCATED outputs may differ (they converge from further
+        # along — same carve-out class as the sharded loop,
+        # docs/parity.md).
+        seed_keep = jnp.where(
+            (i > 0)
+            & (bounds_ref[2 * i - 2] >= lo_c)
+            & (bounds_ref[2 * i - 1] >= hi_c),
+            jnp.uint32(0xFFFFFFFF),
+            jnp.uint32(0),
+        )
     io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
     for k in range(n_chunks):
         t = kg_ref[k * ch : (k + 1) * ch, :]
         fb = (t > hi_c).astype(jnp.int32)
         pb = (t > lo_c).astype(jnp.int32) * (1 - fb)
-        f_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
+        fw = jnp.sum(
             fb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
         ).astype(jnp.uint32)
+        if carry_seed:
+            # Read-then-write per chunk: the slice still holds step
+            # i-1's converged words here (garbage at i == 0, masked off).
+            fw = fw | (f_ref[k * kw : (k + 1) * kw, :] & seed_keep)
+        f_ref[k * kw : (k + 1) * kw, :] = fw
         p_ref[k * kw : (k + 1) * kw, :] = jnp.sum(
             pb.reshape(kw, 32, wp) << io, axis=1, dtype=jnp.int32
         ).astype(jnp.uint32)
@@ -594,6 +625,7 @@ def sweep_ok(k: int, h: int, w: int) -> bool:
     jax.jit,
     static_argnames=(
         "max_iters", "dilate_steps", "scan_after", "carry_every", "interpret",
+        "monotone_seed",
     ),
 )
 def sweep_fused(
@@ -604,6 +636,7 @@ def sweep_fused(
     scan_after: int = 10,
     carry_every: int = bitpack._CARRY_EVERY,
     interpret: bool = False,
+    monotone_seed: bool = False,
 ) -> jnp.ndarray:
     """ALL K threshold-sweep tails in ONE kernel launch: the int32
     NMS-masked magnitude plane (``feed_forward_nmsq``) is DMA'd into VMEM
@@ -619,7 +652,18 @@ def sweep_fused(
     (hysteresis_fused_nmsq's contract). Returns (K, H, W) uint8 edge
     maps, each bit-identical to the solo fused/XLA tail (shared
     schedule). The reference's analog is K full kernel-chain relaunches
-    (cannyEdgeH.cu:49-120)."""
+    (cannyEdgeH.cu:49-120).
+
+    ``monotone_seed=True`` additionally exploits threshold-sweep
+    monotonicity: pairs are processed in lexicographically DESCENDING
+    (lo, hi) order (a traced sort — the pair values stay runtime data),
+    each step warm-starts from the previous step's converged plane
+    whenever that pair dominates it (checked per step in-kernel; see
+    _sweep_kernel), and each edge map is emitted directly to its
+    ORIGINAL index via a prefetch-indexed output block map — the
+    returned order is unchanged and no post-hoc gather exists. Converged
+    outputs are bit-identical to the unseeded form; only cap-TRUNCATED
+    outputs may differ (docs/parity.md carve-out)."""
     h, w = kg.shape
     k = bounds.shape[0] // 2
     hp, wpad = _pad_shape(h, w)
@@ -634,14 +678,25 @@ def sweep_fused(
         h=h, w=w, hp=hp, ch=ch, n_chunks=n_chunks, hwp=hwp, wp=wp,
         dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
+        carry_seed=monotone_seed,
     )
+    pre = jnp.maximum(jnp.asarray(bounds, jnp.int32), np.int32(0))
+    if monotone_seed:
+        pairs = pre.reshape(k, 2)
+        perm = jnp.lexsort((-pairs[:, 1], -pairs[:, 0]))  # desc (lo, hi)
+        pre = jnp.concatenate(
+            [pairs[perm].reshape(-1), perm.astype(jnp.int32)]
+        )
+        out_map = lambda i, b: (b[2 * k + i], 0, 0)
+    else:
+        out_map = lambda i, b: (i, 0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # (2K,) bounds
+        num_scalar_prefetch=1,  # (2K,) bounds [+ (K,) output positions]
         grid=(k,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (1, out_rows, w), lambda i, b: (i, 0, 0),
+                (1, out_rows, w), out_map,
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -661,7 +716,7 @@ def sweep_fused(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.maximum(jnp.asarray(bounds, jnp.int32), np.int32(0)), kg_in)
+    )(pre, kg_in)
     return out[:, :h, :]
 
 

@@ -199,9 +199,16 @@ def exchange_packed(
     col_axis: str,
     ny: int,
     nx: int,
+    permute: Callable = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One halo refresh of plane ``x``: OR each neighbor's boundary strips
     into this shard's halo slots. Returns (plane, any_new_bits).
+
+    ``permute(strip, axis_name, perm)`` is injectable (default
+    ``jax.lax.ppermute``) so the single-chip member-tile measurement
+    program (tools/member_tile_probe.py) can run the EXACT strip
+    extraction/placement arithmetic with the wire hop substituted by an
+    optimization barrier — the ICI wire time is modeled separately.
 
     Vertical strips are one (1, lanes) word-row spanning ALL lanes (so
     they carry the sender's column halos); the column exchange then sends
@@ -212,6 +219,8 @@ def exchange_packed(
     GLOBAL pixel coordinates, so a strip may include halo-region bits the
     sender itself received — those are valid promotions below the fixed
     point, and OR keeps everything monotone-safe."""
+    if permute is None:
+        permute = jax.lax.ppermute
     new = jnp.bool_(False)
     cap = geo.ext_h
     if ny > 1:
@@ -220,8 +229,8 @@ def exchange_packed(
         send_down = _extract32(x, geo.e_top + geo.h_loc - 32)
         # My top core rows -> the upper neighbor's bottom halo slot.
         send_up = _extract32(x, geo.e_top)
-        recv_top = jax.lax.ppermute(send_down, row_axis, down)
-        recv_bot = jax.lax.ppermute(send_up, row_axis, up)
+        recv_top = permute(send_down, row_axis, down)
+        recv_bot = permute(send_up, row_axis, up)
         x, n1 = _or_place32(x, recv_top, geo.e_top - 32, cap)
         x, n2 = _or_place32(x, recv_bot, geo.e_top + geo.h_loc, cap)
         new = new | n1 | n2
@@ -231,8 +240,8 @@ def exchange_packed(
         c_r = geo.e_left + geo.w_loc
         send_right = x[:, c_r - k : c_r]
         send_left = x[:, geo.e_left : geo.e_left + k]
-        recv_left = jax.lax.ppermute(send_right, col_axis, down)
-        recv_right = jax.lax.ppermute(send_left, col_axis, up)
+        recv_left = permute(send_right, col_axis, down)
+        recv_right = permute(send_left, col_axis, up)
         old_l = x[:, geo.e_left - k : geo.e_left]
         old_r = x[:, c_r : c_r + k]
         new = new | jnp.any(recv_left & ~old_l) | jnp.any(recv_right & ~old_r)

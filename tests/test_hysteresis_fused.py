@@ -222,3 +222,60 @@ class TestSweepDispatch:
         np.testing.assert_array_equal(
             np.asarray(counts), np.asarray(want_counts)
         )
+
+
+@pytest.mark.slow
+class TestMonotoneSeededSweep:
+    """sweep_fused(monotone_seed=True): the warm-started sweep must be
+    bit-identical to cold starts on CONVERGED runs — for sorted pair
+    lists (full domination chain), shuffled lists (the in-kernel
+    domination check must fall back to cold starts rather than seed from
+    a non-dominating neighbor), and duplicate pairs (domination with
+    equality)."""
+
+    def _kg_and_bounds(self, lows, highs):
+        from cudacam_tpu.config import CannyConfig
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas import canny as pl_canny
+
+        rng = np.random.default_rng(3)
+        frame = rng.integers(0, 255, size=(64, 256, 3), dtype=np.uint8)
+        cfg = CannyConfig(height=64, width=256)
+        mono = xla_ops.rgb2mono(jnp.asarray(frame))
+        blur = xla_ops.gaussian_blur(mono, 5)
+        sx, sy = xla_ops.sobel_sums(blur)
+        keep = xla_ops.nms_keep_mask(sx, sy, "l2")
+        kg = jnp.where(keep, sx * sx + sy * sy, 0).astype(jnp.int32)
+        bl, bh = [], []
+        for lo, hi in zip(lows, highs):
+            lo_b = xla_ops.threshold_magnitude_bound(
+                jnp.int32(lo), cfg.grad_coeff, cfg.norm
+            )
+            hi_b = xla_ops.threshold_magnitude_bound(
+                jnp.int32(hi), cfg.grad_coeff, cfg.norm
+            )
+            bl.append(lo_b - 1)
+            bh.append(hi_b - 1)
+        bounds = jnp.stack([x for pair in zip(bl, bh) for x in pair])
+        return kg, bounds
+
+    @pytest.mark.parametrize(
+        "lows,highs",
+        [
+            ([5, 10, 20, 30, 40], [40, 50, 60, 80, 90]),  # ascending
+            ([40, 5, 20, 30, 10], [90, 40, 60, 80, 50]),  # shuffled
+            ([10, 10, 30, 30], [40, 40, 80, 80]),  # duplicates
+            ([5, 40, 10, 30], [90, 50, 80, 40]),  # NON-dominating mix
+        ],
+    )
+    def test_seeded_equals_cold(self, lows, highs):
+        from cudacam_tpu.ops.pallas.hysteresis_fused import sweep_fused
+
+        kg, bounds = self._kg_and_bounds(lows, highs)
+        kw = dict(max_iters=100, dilate_steps=4, scan_after=2,
+                  interpret=True)
+        cold = np.asarray(sweep_fused(kg, bounds, **kw))
+        warm = np.asarray(
+            sweep_fused(kg, bounds, monotone_seed=True, **kw)
+        )
+        np.testing.assert_array_equal(warm, cold)
