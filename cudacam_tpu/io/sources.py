@@ -74,6 +74,42 @@ def make_spiral_thresh(h: int, w: int) -> np.ndarray:
     return t
 
 
+def make_spiral_frame(h: int, w: int, v: int = 65, gap: int = 12) -> np.ndarray:
+    """Adversarial hysteresis input as a real BGR IMAGE (r5): a square
+    spiral RIDGE whose flank gradients land in the candidate band at the
+    default (10, 40) thresholds, seeded by one bright blob at the outer
+    tip. Unlike :func:`make_spiral_thresh` (a raw threshold map fed to
+    the hysteresis kernels directly), this drives the FULL engine path —
+    megakernel, phase-boundary export, taken phase-2 continuation —
+    exactly as a pathological camera scene would. Measured at 512x1024:
+    29 seed finals, ~87k candidates, 188 convergence rounds (cap-class:
+    the 100-round belt truncates it, the reference's analog being 100
+    host relaunches, cannyEdgeH.cu:313). Arms sit ``gap`` px apart so the
+    5x5 blur keeps each ridge distinct; ``v=65`` puts flank magnitudes in
+    (low, high] while the blob's ring exceeds high."""
+    img = np.zeros((h, w), np.uint8)
+    top, left, bot, right = 1, 1, h - 2, w - 2
+    pts = []
+    while right - left > gap and bot - top > gap:
+        for cc in range(left, right + 1):
+            pts.append((top, cc))
+        for rr in range(top, bot + 1):
+            pts.append((rr, right))
+        for cc in range(right, left + gap - 1, -1):
+            pts.append((bot, cc))
+        for rr in range(bot, top + gap - 1, -1):
+            pts.append((rr, left + gap))
+        top += gap
+        left += gap
+        bot -= gap
+        right -= gap
+    for (r, c) in pts:
+        img[r, c] = v
+    r0, c0 = pts[0]
+    img[max(0, r0 - 1) : r0 + 2, c0 : c0 + 3] = 255  # seed blob on the tip
+    return np.stack([img] * 3, axis=-1)
+
+
 class FrameSource(abc.ABC):
     """Spec-locked frame producer (the ``io::webcam`` contract,
     webcam.hpp:15-24): ``start()`` locks (height, width, channels);

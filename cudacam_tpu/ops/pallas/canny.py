@@ -237,12 +237,20 @@ def threshold_sweep_pallas(
         # (unrolled solo tails) -> this form.
         bl, bh_ = zip(*(cmp_bounds(lows[i], highs[i]) for i in range(k)))
         bounds = jnp.stack([x for pair in zip(bl, bh_) for x in pair])
+        # monotone_seed (r5): pairs are processed in descending-threshold
+        # order and each warm-starts from its dominating predecessor's
+        # converged plane (result_prev is a subset of result_next —
+        # reachability is monotone in both bounds). Measured at 1080p
+        # K=16: 1541 -> 1166 us (tools/sweep_seed_probe.py); converged
+        # outputs bit-identical to cold starts (the fixed point is
+        # unique; tested incl. shuffled/non-dominating pair lists).
         maps = sweep_fused(
             kg, bounds,
             max_iters=cfg.max_hysteresis_iters,
             dilate_steps=cfg.hysteresis_inner_steps,
             scan_after=cfg.hysteresis_scan_after,
             interpret=interpret,
+            monotone_seed=True,
         )
     elif fused_ok(h, w) and k <= _SWEEP_UNROLL_MAX:
         # UNROLLED nmsq tails: K is static, so the K kernel invocations

@@ -707,13 +707,19 @@ def sweep_fused(
             pltpu.SemaphoreType.DMA((1,)),
         ],
     )
+    # 4K-class working sets sit within ~1 MB of the 64 MB cap and the
+    # seeded form's extra pack temporaries push past it (measured OOM by
+    # 1.32 MB); v5e physical VMEM is 128 MB — raise the cap before
+    # shrinking a working set (CLAUDE.md).
+    est = hp * wp * 4 + 8 * hwp * wp * 4 + out_rows * w
+    vmem_cap = (100 if est > 45 * 1024 * 1024 else 64) * 1024 * 1024
     (out,) = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((k, out_rows, w), jnp.uint8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=vmem_cap,
         ),
         interpret=interpret,
     )(pre, kg_in)

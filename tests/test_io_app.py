@@ -410,3 +410,37 @@ class TestKeyControls:
             kc = KeyController(app)
             assert kc.start() is False  # pytest stdin is not a tty
             kc.stop()
+
+
+class TestSpiralFrame:
+    """make_spiral_frame (r5): a real adversarial IMAGE — its threshold
+    map at the default (10, 40) must be a long candidate chain with few
+    seeds that the engine's hysteresis crawls for cap-class round counts
+    (the engine-path worst-case bench rows depend on this property)."""
+
+    def test_adversarial_through_pipeline(self):
+        import jax.numpy as jnp
+
+        from cudacam_tpu.io.sources import make_spiral_frame
+        from cudacam_tpu.ops import numpy_oracle as O
+        from cudacam_tpu.ops.bitpack import hysteresis_packed
+
+        h, w = 256, 512
+        frame = make_spiral_frame(h, w)
+        assert frame.shape == (h, w, 3) and frame.dtype == np.uint8
+        mono = O.rgb2mono(frame)
+        blur = O.gaussian_blur(mono, 5)
+        sx, sy = O.sobel_sums(blur)
+        keep = O.nms_keep_mask(sx, sy)
+        nms = np.where(keep, O.nms_magnitude_u8(sx, sy), 0).astype(np.uint8)
+        t = O.double_threshold(nms, 10, 40)
+        n_f, n_c = int((t == 255).sum()), int((t == 128).sum())
+        assert n_f < 200, n_f  # seeds only near the blob
+        assert n_c > 10_000, n_c  # the chain dominates
+        out, iters = hysteresis_packed(
+            jnp.asarray(t), max_iters=2000, dilate_steps=16,
+            scan_after=64, return_iters=True,
+        )
+        # Reachable: the chain connects to the seed and is crawled.
+        assert int((np.asarray(out) == 255).sum()) > n_c // 2
+        assert int(iters) > 40  # cap-class at this size; deeper at 1080p
