@@ -857,6 +857,79 @@ def saturate_packed(
     return fout, flags[0, 1] == 1
 
 
+def converge_packed_split(
+    f: jnp.ndarray,
+    p: jnp.ndarray,
+    log_h: int,
+    log_w: int,
+    n_split: int,
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Converge guard-ringed packed planes by COLUMN slices with seam-halo
+    rounds — the compile-tractable escalation form for plane shapes whose
+    monolithic 8-direction scan kernel the Mosaic compiler cannot handle
+    (the 8K class: a 25-minute compile timeout, probed r3/r4 and
+    unchanged; docs/performance.md). Each round runs
+    :func:`saturate_packed` on every (hwp, 64+log_w/n_split+64+128)
+    slice — a 4K-class shape that compiles — then the owned columns are
+    written back, so the next round's slice extraction carries 64 lanes
+    of fresh neighbor state across each seam (the same halo-slot scheme
+    as the multi-chip packed exchange, parallel/packed_halo.py, with
+    plain slicing standing in for the wire). Terminates when a round
+    changes nothing, bounded by ``max_iters`` seam rounds.
+
+    Returns ``(f_converged, growing)``; ``growing`` True iff the seam
+    loop hit its round cap while still changing. This is a MULTI-TILE
+    executor: converged outputs equal every other backend's (unique
+    fixed point, asserted in tests); cap-truncated outputs are a valid
+    monotone under-approximation but not bit-matched to the single-chip
+    truncation (the docs/parity.md carve-out)."""
+    hwp, wp = f.shape
+    if log_w % n_split:
+        raise ValueError(f"log_w {log_w} not divisible by n_split {n_split}")
+    ws = log_w // n_split
+    k = min(64, ws)
+    sw = k + ws + k + _GUARD_LANES
+
+    def extract(x, i):
+        lo, hi = i * ws - k, (i + 1) * ws + k
+        left_pad = max(0, -lo)
+        right_pad = hi - min(hi, log_w)
+        sl = x[:, max(0, lo) : min(hi, log_w)]
+        return jnp.pad(sl, ((0, 0), (left_pad, right_pad + _GUARD_LANES)))
+
+    p_slices = [extract(p, i) for i in range(n_split)]
+
+    def body(state):
+        f, _, _, it = state
+        owned = []
+        growing = jnp.bool_(False)
+        for i in range(n_split):
+            sf, g = saturate_packed(
+                extract(f, i), p_slices[i], log_h, k + ws + k,
+                dilate_steps=dilate_steps, scan_after=scan_after,
+                max_iters=max_iters, interpret=interpret,
+            )
+            growing = growing | g
+            owned.append(sf[:, k : k + ws])
+        nf = jnp.concatenate(owned + [f[:, log_w:]], axis=1)
+        # Loop while the PLANE still changes: a round that changes
+        # nothing is a fixed point of this executor (deterministic), even
+        # if a slice's internal cap truncated it there — 'growing' then
+        # reports the truncation to the caller.
+        return nf, jnp.any(nf != f), growing, it + 1
+
+    f, changed, growing, it = jax.lax.while_loop(
+        lambda st: st[1] & (st[3] < max_iters),
+        body,
+        (f, jnp.bool_(True), jnp.bool_(False), jnp.int32(0)),
+    )
+    return f, growing | (changed & (it >= max_iters))
+
+
 def _section_stride(h: int) -> int:
     """Row stride of one section in a stacked batch: the section's rows
     rounded up to a whole packed word (32 image rows) plus one full zero

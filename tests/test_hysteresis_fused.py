@@ -279,3 +279,60 @@ class TestMonotoneSeededSweep:
             sweep_fused(kg, bounds, monotone_seed=True, **kw)
         )
         np.testing.assert_array_equal(warm, cold)
+
+
+@pytest.mark.slow
+class TestConvergePackedSplit:
+    """converge_packed_split (r5, the 8K escalation form): column-sliced
+    convergence with seam-halo rounds must reach the SAME fixed point as
+    the monolithic converge — including chains that snake across the
+    seam many times — per the multi-tile converged-identity contract."""
+
+    @pytest.mark.parametrize("n_split", [2, 4])
+    def test_matches_monolithic(self, n_split):
+        from cudacam_tpu.ops.bitpack import converge_packed, pack_pair
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            converge_packed_split,
+        )
+
+        # The spiral crosses every column repeatedly — every seam is
+        # exercised in both directions.
+        t = make_spiral_thresh(64, 512)
+        f, p = pack_pair(jnp.asarray(t))
+        pad = ((0, 1), (0, 128))
+        fg, pg = jnp.pad(f, pad), jnp.pad(p, pad)
+        got, growing = converge_packed_split(
+            fg, pg, 64, 512, n_split, dilate_steps=4, scan_after=2,
+            max_iters=300, interpret=True,
+        )
+        want, _, want_growing = converge_packed(
+            jnp.asarray(fg), jnp.asarray(pg), 64, 512,
+            dilate_steps=4, scan_after=2, max_iters=300,
+        )
+        assert not bool(want_growing)
+        assert not bool(growing)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_random_field(self):
+        from cudacam_tpu.ops.bitpack import converge_packed, pack_pair
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            converge_packed_split,
+        )
+
+        rng = np.random.default_rng(7)
+        t = rng.choice(
+            [0, 128, 255], size=(96, 256), p=[0.55, 0.4, 0.05]
+        ).astype(np.uint8)
+        f, p = pack_pair(jnp.asarray(t))
+        pad = ((0, 1), (0, 128))
+        fg, pg = jnp.pad(f, pad), jnp.pad(p, pad)
+        got, growing = converge_packed_split(
+            fg, pg, 96, 256, 2, dilate_steps=4, scan_after=2,
+            max_iters=200, interpret=True,
+        )
+        want, _, _ = converge_packed(
+            jnp.asarray(fg), jnp.asarray(pg), 96, 256,
+            dilate_steps=4, scan_after=2, max_iters=200,
+        )
+        assert not bool(growing)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
