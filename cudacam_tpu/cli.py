@@ -38,7 +38,7 @@ def _add_pipeline_args(p: argparse.ArgumentParser) -> None:
                    help="threshold domain: reference uint8 magnitudes, or "
                         "cv2.Canny's raw Sobel magnitudes (values carry 1:1)")
     p.add_argument("--continuation", default="auto",
-                   choices=("auto", "pallas", "xla"),
+                   choices=("auto", "pallas", "xla", "split"),
                    help="phase-2 hysteresis continuation form: 'pallas' is "
                         "the opt-in for streams expecting cap-class inputs "
                         "(~3x cheaper taken phase 2 at 1080p for ~12 us/frame "

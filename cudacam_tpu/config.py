@@ -116,10 +116,14 @@ class CannyConfig:
     # EXPECT cap-class inputs (long monotone chains) and will pay the
     # 12 us/frame branch tax for a ~3x cheaper taken continuation (1080p
     # spiral through the engine: ~1.9 ms XLA -> ~1.2 ms Pallas,
-    # BENCH_TABLE.md). 'xla' forces the portable form everywhere it is
-    # 'auto'-eligible. Outputs are bit-identical across all three (shared
-    # round schedule, docs/parity.md).
-    continuation: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    # BENCH_TABLE.md). 'xla' forces the portable form everywhere. 'split'
+    # is the 8K-class column-split form ('auto' picks it there — the
+    # monolithic scan kernel does not compile at those plane shapes);
+    # it is a multi-tile executor, so cap-TRUNCATED adversarial outputs
+    # follow the docs/parity.md carve-out (converged outputs are
+    # bit-identical across all forms; forcing 'xla' restores single-chip
+    # truncation identity at the r4 escalation cost).
+    continuation: str = "auto"  # 'auto' | 'pallas' | 'xla' | 'split'
 
     def __post_init__(self) -> None:
         if self.kernel_size not in GAUSSIAN_TAPS:
@@ -132,8 +136,10 @@ class CannyConfig:
             raise ValueError("backend must be 'auto', 'pallas' or 'xla'")
         if self.parity not in ("reference", "opencv"):
             raise ValueError("parity must be 'reference' or 'opencv'")
-        if self.continuation not in ("auto", "pallas", "xla"):
-            raise ValueError("continuation must be 'auto', 'pallas' or 'xla'")
+        if self.continuation not in ("auto", "pallas", "xla", "split"):
+            raise ValueError(
+                "continuation must be 'auto', 'pallas', 'xla' or 'split'"
+            )
         if self.grad_coeff not in (1, 2, 4, 8):
             # The exact-integer display magnitude (isqrt(m)*coeff)//8 equals
             # the reference's trunc(coeff*sqrt(m)/8) only when coeff divides

@@ -57,7 +57,7 @@ per-block shared-memory iteration of cannyEdgeD.cu:295-377.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -793,7 +793,7 @@ def _sat_kernel(
     jax.jit,
     static_argnames=(
         "log_h", "log_w", "dilate_steps", "scan_after", "max_iters",
-        "carry_every", "interpret",
+        "carry_every", "interpret", "return_iters",
     ),
 )
 def saturate_packed(
@@ -806,7 +806,8 @@ def saturate_packed(
     max_iters: int = 100,
     carry_every: int = bitpack._CARRY_EVERY,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_iters: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Local saturation directly on pre-packed guard-ringed planes —
     the Pallas form of ``bitpack.converge_packed`` (same two phases, same
     factory schedule), used as the sharded round loop's local operator
@@ -854,6 +855,8 @@ def saturate_packed(
         ),
         interpret=interpret,
     )(f, p)
+    if return_iters:
+        return fout, flags[0, 1] == 1, flags[0, 0]
     return fout, flags[0, 1] == 1
 
 
@@ -866,6 +869,8 @@ def converge_packed_split(
     dilate_steps: int = 16,
     scan_after: int = 10,
     max_iters: int = 100,
+    chunk: Optional[int] = None,
+    it0=0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Converge guard-ringed packed planes by COLUMN slices with seam-halo
@@ -881,18 +886,28 @@ def converge_packed_split(
     plain slicing standing in for the wire). Terminates when a round
     changes nothing, bounded by ``max_iters`` seam rounds.
 
-    Returns ``(f_converged, growing)``; ``growing`` True iff the seam
-    loop hit its round cap while still changing. This is a MULTI-TILE
-    executor: converged outputs equal every other backend's (unique
-    fixed point, asserted in tests); cap-truncated outputs are a valid
-    monotone under-approximation but not bit-matched to the single-chip
-    truncation (the docs/parity.md carve-out)."""
+    Returns ``(f_converged, growing)``; ``growing`` True iff the loop
+    truncated while still changing. This is a MULTI-TILE executor:
+    converged outputs equal every other backend's (unique fixed point,
+    asserted in tests); cap-truncated outputs are a valid monotone
+    under-approximation but not bit-matched to the single-chip
+    truncation (the docs/parity.md carve-out).
+
+    ``chunk`` bounds each slice launch's INTERNAL rounds. Without it, a
+    cap-class input re-converges every slice to the full internal cap
+    each seam round (up to max_iters^2 schedule rounds — probed at 8K:
+    190 ms vs the XLA continuation's 35, tools/split8k_probe.py).
+    Chunked, the loop carries a TOTAL round budget: each seam round
+    consumes max-over-slices internal rounds (slices run the same
+    global round window in parallel) starting from ``it0`` (a resumed
+    continuation's phase-1 count), and stops at ``max_iters`` total —
+    the single-chip executors' round-budget class, at in-kernel round
+    cost (~50x cheaper than the XLA continuation's HBM rounds)."""
     hwp, wp = f.shape
     if log_w % n_split:
         raise ValueError(f"log_w {log_w} not divisible by n_split {n_split}")
     ws = log_w // n_split
     k = min(64, ws)
-    sw = k + ws + k + _GUARD_LANES
 
     def extract(x, i):
         lo, hi = i * ws - k, (i + 1) * ws + k
@@ -902,32 +917,41 @@ def converge_packed_split(
         return jnp.pad(sl, ((0, 0), (left_pad, right_pad + _GUARD_LANES)))
 
     p_slices = [extract(p, i) for i in range(n_split)]
+    inner_cap = chunk if chunk is not None else max_iters
 
     def body(state):
-        f, _, _, it = state
+        f, _, it = state
         owned = []
-        growing = jnp.bool_(False)
+        spent = jnp.int32(0)
         for i in range(n_split):
-            sf, g = saturate_packed(
+            sf, _, si = saturate_packed(
                 extract(f, i), p_slices[i], log_h, k + ws + k,
                 dilate_steps=dilate_steps, scan_after=scan_after,
-                max_iters=max_iters, interpret=interpret,
+                max_iters=inner_cap, interpret=interpret,
+                return_iters=True,
             )
-            growing = growing | g
+            spent = jnp.maximum(spent, si)
             owned.append(sf[:, k : k + ws])
         nf = jnp.concatenate(owned + [f[:, log_w:]], axis=1)
-        # Loop while the PLANE still changes: a round that changes
-        # nothing is a fixed point of this executor (deterministic), even
-        # if a slice's internal cap truncated it there — 'growing' then
-        # reports the truncation to the caller.
-        return nf, jnp.any(nf != f), growing, it + 1
+        # Round accounting: slices execute the same global round window
+        # in parallel, so a seam round consumes max-over-slices internal
+        # rounds (chunked mode) or one seam round (unchunked mode).
+        return nf, jnp.any(nf != f), it + (spent if chunk else 1)
 
-    f, changed, growing, it = jax.lax.while_loop(
-        lambda st: st[1] & (st[3] < max_iters),
+    f, changed, it = jax.lax.while_loop(
+        # Loop while the PLANE (union of owned columns) still changes: a
+        # round that changes nothing is a fixed point of this executor —
+        # any promotion a slice makes ONLY in its (discarded) halo
+        # columns is re-derived as an owned-column promotion by the
+        # neighbor from the same round-start state, so no owned change
+        # anywhere means no enabled promotion exists.
+        lambda st: st[1] & (st[2] < max_iters),
         body,
-        (f, jnp.bool_(True), jnp.bool_(False), jnp.int32(0)),
+        (f, jnp.bool_(True), jnp.asarray(it0, jnp.int32)),
     )
-    return f, growing | (changed & (it >= max_iters))
+    # changed==True can only survive the loop via the round budget, so
+    # it IS the truncated-before-fixed-point flag.
+    return f, changed
 
 
 def _section_stride(h: int) -> int:

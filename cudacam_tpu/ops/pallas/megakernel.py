@@ -816,8 +816,55 @@ def _cont_xla(
 #: the XLA form to the Pallas kernel (see _cont_xla's docstring): 4K and
 #: up — but only while the continuation KERNEL is compilable at the shape
 #: (its 8-direction scans at 8K never returned from the remote Mosaic
-#: compiler; the auto policy routes those to the XLA form).
+#: compiler; the auto policy routes those to the SPLIT form below).
 _CONT_PALLAS_MIN_PX = 4_000_000
+
+#: Column-split continuation constants (the 8K class — plane past the
+#: monolithic scan kernel's budget): largest per-slice plane the remote
+#: Mosaic compiler is PROVEN to handle (the 8K half-plane, 2.23 MB,
+#: compiled and ran — tools/split8k_probe.py), and the per-launch
+#: internal round chunk of the total-round-budget accounting
+#: (converge_packed_split's docstring; unchunked, a cap-class input
+#: costs max_iters^2 rounds — measured 190 ms vs the XLA form's 35).
+_SPLIT_SLICE_BUDGET = 2_400_000
+_SPLIT_CHUNK = 8
+
+
+def _cont_split(
+    fpack: jnp.ndarray,
+    ppack: jnp.ndarray,
+    it0: jnp.ndarray,
+    h: int,
+    w: int,
+    dilate_steps: int,
+    max_iters: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Phase-2 continuation for plane shapes whose monolithic scan kernel
+    does not compile (8K): column-split convergence with seam-halo
+    rounds (hysteresis_fused.converge_packed_split) at 4K-class slice
+    shapes, resuming the round BUDGET at ``it0``, then the 2-us unpack
+    kernel. In-kernel rounds are ~50x cheaper than the XLA
+    continuation's HBM rounds; measured on the 8K cap-class state:
+    35 ms (XLA) -> see BENCH_TABLE's escalation row. Multi-tile
+    executor: converged-identity only (docs/parity.md carve-out)."""
+    from cudacam_tpu.ops.pallas.hysteresis_fused import (
+        converge_packed_split,
+    )
+
+    hwp, wp = fpack.shape
+    n_split = 2
+    while (
+        w % n_split == 0
+        and hwp * (w // n_split + 256) * 4 > _SPLIT_SLICE_BUDGET
+    ):
+        n_split *= 2
+    f, _ = converge_packed_split(
+        fpack, ppack, h, w, n_split,
+        dilate_steps=dilate_steps, scan_after=0, max_iters=max_iters,
+        chunk=_SPLIT_CHUNK, it0=it0, interpret=interpret,
+    )
+    return unpack_core_call(f, 0, 0, h, w, interpret=interpret)
 
 
 def canny_mega_pipeline(
@@ -840,8 +887,8 @@ def canny_mega_pipeline(
     execute bitpack.hysteresis_packed's two phases on the same state;
     module docstring). ``cont`` picks the continuation implementation:
     "auto" (size policy, _CONT_PALLAS_MIN_PX), "pallas", or "xla"."""
-    if cont not in ("auto", "pallas", "xla"):
-        raise ValueError(f"cont must be auto|pallas|xla, got {cont!r}")
+    if cont not in ("auto", "pallas", "xla", "split"):
+        raise ValueError(f"cont must be auto|pallas|xla|split, got {cont!r}")
     edge, flags, fpack, ppack = canny_mega(
         frame_planar, low, high,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
@@ -856,11 +903,14 @@ def canny_mega_pipeline(
     h, w = frame_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
     if cont == "auto":
-        cont = (
-            "pallas"
-            if h * w >= _CONT_PALLAS_MIN_PX and hwp * wp * 4 <= hfz._PLANE_BUDGET
-            else "xla"
-        )
+        if hwp * wp * 4 > hfz._PLANE_BUDGET:
+            # 8K class: the monolithic scan kernel never compiles; the
+            # column-split form runs 4K-class slices in-kernel
+            # (measured 35 -> ~3 ms on the cap-class 8K state vs the
+            # r4 XLA form; tools/split8k_probe.py).
+            cont = "split" if w % 2 == 0 else "xla"
+        else:
+            cont = "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"
     elif cont == "pallas" and hwp * wp * 4 > hfz._PLANE_BUDGET:
         # Forced Pallas at a shape whose 8-direction scan kernel does not
         # compile (8K class: the remote Mosaic compiler never returns on
@@ -869,10 +919,10 @@ def canny_mega_pipeline(
 
         warnings.warn(
             f"continuation='pallas' unavailable at {h}x{w} (scan kernel "
-            "past the compilable plane budget); using the XLA form",
+            "past the compilable plane budget); using the split form",
             stacklevel=2,
         )
-        cont = "xla"
+        cont = "split" if w % 2 == 0 else "xla"
 
     if cont == "pallas":
 
@@ -884,6 +934,16 @@ def canny_mega_pipeline(
                 interpret=interpret,
             )
             return out
+
+    elif cont == "split":
+
+        def _continue(ops):
+            f, p, it0 = ops
+            return _cont_split(
+                f, p, it0[0], h=h, w=w,
+                dilate_steps=dilate_steps, max_iters=max_iters,
+                interpret=interpret,
+            )
 
     else:
 

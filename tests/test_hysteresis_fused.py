@@ -336,3 +336,55 @@ class TestConvergePackedSplit:
         )
         assert not bool(growing)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("chunk", [4, 8])
+    def test_chunked_matches_monolithic_when_converged(self, chunk):
+        """Chunked budget accounting: with budget to spare, the chunked
+        split must reach the same unique fixed point."""
+        from cudacam_tpu.ops.bitpack import converge_packed, pack_pair
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            converge_packed_split,
+        )
+
+        t = make_spiral_thresh(64, 512)
+        f, p = pack_pair(jnp.asarray(t))
+        pad = ((0, 1), (0, 128))
+        fg, pg = jnp.pad(f, pad), jnp.pad(p, pad)
+        got, growing = converge_packed_split(
+            fg, pg, 64, 512, 2, dilate_steps=4, scan_after=2,
+            max_iters=3000, chunk=chunk, interpret=True,
+        )
+        want, _, _ = converge_packed(
+            jnp.asarray(fg), jnp.asarray(pg), 64, 512,
+            dilate_steps=4, scan_after=2, max_iters=3000,
+        )
+        assert not bool(growing)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_chunked_budget_truncates_monotone(self):
+        """A tight budget must truncate to a monotone under-approximation
+        (capped FINALs between seeds and the fixed point) and raise the
+        growing flag."""
+        from cudacam_tpu.ops.bitpack import converge_packed, pack_pair
+        from cudacam_tpu.ops.pallas.hysteresis_fused import (
+            converge_packed_split,
+        )
+
+        t = make_spiral_thresh(64, 512)
+        f, p = pack_pair(jnp.asarray(t))
+        pad = ((0, 1), (0, 128))
+        fg, pg = jnp.pad(f, pad), jnp.pad(p, pad)
+        capped, growing = converge_packed_split(
+            fg, pg, 64, 512, 2, dilate_steps=4, scan_after=2,
+            max_iters=12, chunk=4, interpret=True,
+        )
+        full, _, _ = converge_packed(
+            jnp.asarray(fg), jnp.asarray(pg), 64, 512,
+            dilate_steps=4, scan_after=2, max_iters=3000,
+        )
+        capped, full, seeds = (
+            np.asarray(capped), np.asarray(full), np.asarray(fg))
+        assert bool(growing)
+        assert ((capped & ~full) == 0).all()  # capped subset of fixed point
+        assert ((seeds & ~capped) == 0).all()  # seeds subset of capped
+        assert capped.sum() < full.sum()

@@ -283,3 +283,65 @@ class TestContinuationConfig:
         # the resolver inline — the branch lives in canny_mega_pipeline
         # before any continuation is traced, so unit-test the predicate.
         assert mk._CONT_PALLAS_MIN_PX <= h * w
+
+
+class TestSplitContinuation:
+    """cont='split' (r5, the 8K-class escalation form): the column-split
+    phase-2 continuation must recover the exact converged output through
+    the pipeline cond, and 'auto' must route past-budget plane shapes to
+    it (monkeypatched budget — real 8K is not interpret-tractable)."""
+
+    def test_split_cont_matches(self):
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import canny_mega_pipeline
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        cfg = CannyConfig(height=h, width=w, hysteresis_scan_after=1)
+        frame = jnp.asarray(make_scene(h, w, seed=5))
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got = np.asarray(canny_mega_pipeline(
+            jnp.transpose(frame, (2, 0, 1)), lo, hi,
+            dilate_steps=cfg.hysteresis_inner_steps, scan_after=1,
+            max_iters=cfg.max_hysteresis_iters, cont="split",
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
+
+    def test_auto_routes_past_budget_to_split(self, monkeypatch):
+        from cudacam_tpu.ops.pallas import hysteresis_fused as hfz
+        from cudacam_tpu.ops.pallas import megakernel as mk
+
+        # Shrink the budget so an 80x256 plane counts as "8K class";
+        # auto must then pick the split continuation (and still be
+        # bit-exact through the cond).
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        _, _, hwp, wp = mk._mega_geometry(h, w)
+        monkeypatch.setattr(hfz, "_PLANE_BUDGET", hwp * wp * 4 - 1)
+        cfg = CannyConfig(height=h, width=w, hysteresis_scan_after=1)
+        frame = jnp.asarray(make_scene(h, w, seed=6))
+        lo, hi = np.int32(10), np.int32(40)
+        want = np.asarray(
+            xla_ops.canny_to_stage(frame, lo, hi, cfg, CannyStage.HYSTER)
+        )
+        got = np.asarray(mk.canny_mega_pipeline(
+            jnp.transpose(frame, (2, 0, 1)), lo, hi,
+            dilate_steps=cfg.hysteresis_inner_steps, scan_after=1,
+            max_iters=cfg.max_hysteresis_iters, cont="auto",
+            interpret=True,
+        ))
+        np.testing.assert_array_equal(got, want)
