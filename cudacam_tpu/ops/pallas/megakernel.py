@@ -867,6 +867,36 @@ def _cont_split(
     return unpack_core_call(f, 0, 0, h, w, interpret=interpret)
 
 
+def _resolve_cont(cont: str, h: int, w: int, hwp: int, wp: int) -> str:
+    """The static continuation-form policy (unit-tested without tracing):
+    'auto' → XLA at small frames (untaken Mosaic branch costs ~12 us),
+    the Pallas kernel at 4K class, the column-split form where the
+    monolithic scan kernel cannot compile (8K class); a forced 'pallas'
+    at an uncompilable shape warns and falls back to 'split'."""
+    past_budget = hwp * wp * 4 > hfz._PLANE_BUDGET
+    if cont == "auto":
+        if past_budget:
+            # 8K class: the monolithic scan kernel never compiles; the
+            # column-split form runs 4K-class slices in-kernel (cap-class
+            # 8K state: 34.8 ms XLA -> 17.3 split;
+            # tools/split8k_chunked_probe.py).
+            return "split" if w % 2 == 0 else "xla"
+        return "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"
+    if cont == "pallas" and past_budget:
+        # Forced Pallas at a shape whose 8-direction scan kernel does not
+        # compile (8K class: the remote Mosaic compiler never returns on
+        # it — docs/performance.md). Fall back rather than hang a compile.
+        import warnings
+
+        warnings.warn(
+            f"continuation='pallas' unavailable at {h}x{w} (scan kernel "
+            "past the compilable plane budget); using the split form",
+            stacklevel=2,
+        )
+        return "split" if w % 2 == 0 else "xla"
+    return cont
+
+
 def canny_mega_pipeline(
     frame_planar: jnp.ndarray,
     low: jnp.ndarray,
@@ -902,27 +932,7 @@ def canny_mega_pipeline(
         return edge
     h, w = frame_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
-    if cont == "auto":
-        if hwp * wp * 4 > hfz._PLANE_BUDGET:
-            # 8K class: the monolithic scan kernel never compiles; the
-            # column-split form runs 4K-class slices in-kernel
-            # (measured 35 -> ~3 ms on the cap-class 8K state vs the
-            # r4 XLA form; tools/split8k_probe.py).
-            cont = "split" if w % 2 == 0 else "xla"
-        else:
-            cont = "pallas" if h * w >= _CONT_PALLAS_MIN_PX else "xla"
-    elif cont == "pallas" and hwp * wp * 4 > hfz._PLANE_BUDGET:
-        # Forced Pallas at a shape whose 8-direction scan kernel does not
-        # compile (8K class: the remote Mosaic compiler never returns on
-        # it — docs/performance.md). Fall back rather than hang a compile.
-        import warnings
-
-        warnings.warn(
-            f"continuation='pallas' unavailable at {h}x{w} (scan kernel "
-            "past the compilable plane budget); using the split form",
-            stacklevel=2,
-        )
-        cont = "split" if w % 2 == 0 else "xla"
+    cont = _resolve_cont(cont, h, w, hwp, wp)
 
     if cont == "pallas":
 

@@ -21,23 +21,51 @@ if not os.environ.get("CUDACAM_TESTS_ON_TPU"):
     # regardless of JAX_PLATFORMS; pin the platform list explicitly.
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite compiles many shape-distinct
-# pipelines (the bit-packed hysteresis traces are large); caching compiled
-# executables across runs cuts repeat-suite wall time substantially.
-_cache_dir = os.environ.get("CUDACAM_TEST_COMPILE_CACHE",
-                            "/tmp/cudacam_jax_cache")
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - cache is an optimization only
-    pass
+# Persistent compilation cache: OPT-IN via CUDACAM_TEST_COMPILE_CACHE.
+# It cut repeat-suite wall time substantially, but on this deployment's
+# jax 0.9 the cache's executable (de)serialization SEGFAULTS
+# nondeterministically once the process holds many compiled executables
+# (r5: crashes observed in both get_executable_and_time and
+# put_executable_and_time, at different tests per run, full-suite runs
+# only — every affected test passes standalone with a fresh cache).
+# Robustness wins for the default suite; set the env var to a cache dir
+# to opt back in for iterative local runs.
+_cache_dir = os.environ.get("CUDACAM_TEST_COMPILE_CACHE")
+if _cache_dir:
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mmap_growth():
+    """Clear jax's executable caches between test modules.
+
+    Root cause (r5, diagnosed by polling /proc/<pid>/maps during a full
+    run): every compiled executable holds JIT'd code in mmap'd regions
+    and the process-global caches keep them all alive, so the full suite
+    crosses the default vm.max_map_count (65530) around the ~200-test
+    mark — at which point mmap failures SEGFAULT LLVM inside
+    backend_compile_and_load (and, with the persistent cache enabled,
+    inside its zstd (de)serialization). Observed as nondeterministic
+    full-suite-only crashes whose location moved with test ordering;
+    every affected test passes standalone. Dropping the caches per
+    module munmaps dead executables and bounds the map count; modules
+    recompile their own shapes anyway, so the wall-time cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
