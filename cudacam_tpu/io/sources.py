@@ -312,8 +312,18 @@ class SequenceSource(FrameSource):
         self._files: Optional[list] = None
         self._i = 0
 
+    @classmethod
+    def from_array(cls, frames: np.ndarray, loop: bool = False
+                   ) -> "SequenceSource":
+        """In-memory sequence (no file): used by the ``spiral:`` spec."""
+        src = cls(path="<memory>", loop=loop)
+        src._frames = np.asarray(frames, np.uint8)
+        return src
+
     def _open(self) -> None:
         self._i = 0
+        if self._path == "<memory>":
+            return  # frames injected by from_array
         if os.path.isdir(self._path):
             names = sorted(
                 f for f in os.listdir(self._path)
@@ -423,6 +433,20 @@ def open_source(spec: str, **kw) -> FrameSource:
                 return SyntheticSource(height=h, width=w, channels=c, **kw)
             raise ValueError(f"bad synthetic spec {spec!r}: want HxW or HxWxC")
         return SyntheticSource(**kw)
+    if spec.startswith("spiral"):
+        # Adversarial worst-case stream (make_spiral_frame): every frame
+        # is the cap-class candidate spiral — drives the megakernel's
+        # taken phase-2 continuation through the real engine/CLI
+        # (`run --source spiral:1080x1920 --continuation pallas`).
+        if ":" in spec:
+            h, w = (int(v) for v in spec.split(":", 1)[1].lower().split("x"))
+        else:
+            h, w = 1080, 1920
+        frame = make_spiral_frame(h, w)
+        n = kw.pop("n_frames", 0)
+        return SequenceSource.from_array(
+            np.stack([frame] * max(1, n or 30)), **kw
+        )
     if spec.startswith("webcam"):
         dev = int(spec.split(":", 1)[1]) if ":" in spec else 0
         return WebcamSource(device=dev, **kw)

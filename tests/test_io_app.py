@@ -444,3 +444,13 @@ class TestSpiralFrame:
         # Reachable: the chain connects to the seed and is crawled.
         assert int((np.asarray(out) == 255).sum()) > n_c // 2
         assert int(iters) > 40  # cap-class at this size; deeper at 1080p
+
+    def test_spiral_source_spec(self):
+        from cudacam_tpu.io.sources import open_source
+
+        with open_source("spiral:64x128", n_frames=3) as src:
+            assert src.spec == (64, 128, 3)
+            frames = [f for _, f in zip(range(3), src)]
+        assert len(frames) == 3
+        assert (frames[0] == frames[1]).all()
+        assert frames[0].max() == 255  # the seed blob
