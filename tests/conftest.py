@@ -21,16 +21,14 @@ if not os.environ.get("CUDACAM_TESTS_ON_TPU"):
     # regardless of JAX_PLATFORMS; pin the platform list explicitly.
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: OPT-IN via CUDACAM_TEST_COMPILE_CACHE.
-# It cut repeat-suite wall time substantially, but on this deployment's
-# jax 0.9 the cache's executable (de)serialization SEGFAULTS
-# nondeterministically once the process holds many compiled executables
-# (r5: crashes observed in both get_executable_and_time and
-# put_executable_and_time, at different tests per run, full-suite runs
-# only — every affected test passes standalone with a fresh cache).
-# Robustness wins for the default suite; set the env var to a cache dir
-# to opt back in for iterative local runs.
-_cache_dir = os.environ.get("CUDACAM_TEST_COMPILE_CACHE")
+# Persistent compilation cache: warm repeat-suite runs measure 7m25 vs
+# ~16m cold (r5). The r5 full-suite segfaults that appeared inside the
+# cache's zstd (de)serialization were NOT the cache's fault — they were
+# vm.max_map_count exhaustion (see _bound_jit_mmap_growth below); with
+# maps bounded, cold-cache/warm-cache/no-cache full runs are all
+# exit-0 stable. Set CUDACAM_TEST_COMPILE_CACHE= (empty) to disable.
+_cache_dir = os.environ.get("CUDACAM_TEST_COMPILE_CACHE",
+                            "/tmp/cudacam_jax_cache")
 if _cache_dir:
     try:
         os.makedirs(_cache_dir, exist_ok=True)
