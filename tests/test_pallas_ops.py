@@ -340,7 +340,7 @@ kw_c = dict(dilate_steps=16, scan_after=1, max_iters=100)
 flags_c = np.asarray(_cm(pl_c, jnp.int32(10), jnp.int32(40), **kw_c)[1])
 if flags_c[0, 1] != 1:
     failures.append(f"continuation case unexpectedly converged {flags_c}")
-for form in ("xla", "pallas"):
+for form in ("xla", "pallas", "split"):
     out_c = np.asarray(
         _cmp(pl_c, jnp.int32(10), jnp.int32(40), cont=form, **kw_c)
     )
