@@ -131,7 +131,12 @@ def _map_batch(single: Callable) -> Callable:
     continuation cond exceeds the map's per-iteration overhead, the
     OPPOSITE of the threshold sweep's unroll result where the tails are
     small homogeneous kernels (probed r4; the sweep's real fix was the
-    resident-kg single launch, hysteresis_fused.sweep_fused)."""
+    resident-kg single launch, hysteresis_fused.sweep_fused). r5
+    completed the same evolution for frames: the HYSTER hot path now
+    runs the whole batch as ONE resident megakernel launch
+    (canny_to_stage_pallas_batched -> canny_mega_batched, grid over
+    frames: 148 -> 129 us/frame at 1080p x8 on hardware); this helper
+    remains for the display-stage and all-stages batched paths."""
 
     def batched_fn(f, lo, hi):
         return jax.lax.map(lambda fr: single(fr, lo, hi), f)
@@ -154,13 +159,25 @@ def _compiled_to_stage_cached(
     if backend == "pallas":
         from cudacam_tpu.ops.pallas import canny_to_stage_pallas
 
-        def base(f, lo, hi):
-            return canny_to_stage_pallas(
-                f, lo, hi, cfg, stage, interpret=cfg.interpret
+        if batched:
+            # r5: HYSTER at mega-eligible shapes runs the WHOLE batch in
+            # one resident megakernel launch; other stages keep lax.map
+            # (see canny_to_stage_pallas_batched and _map_batch's note).
+            from cudacam_tpu.ops.pallas.canny import (
+                canny_to_stage_pallas_batched,
             )
 
-        if batched:
-            base = _map_batch(base)
+            def base(f, lo, hi):
+                return canny_to_stage_pallas_batched(
+                    f, lo, hi, cfg, stage, interpret=cfg.interpret
+                )
+
+        else:
+
+            def base(f, lo, hi):
+                return canny_to_stage_pallas(
+                    f, lo, hi, cfg, stage, interpret=cfg.interpret
+                )
     else:
         base = lambda f, lo, hi: xla_ops.canny_to_stage(f, lo, hi, cfg, stage)
         if batched:

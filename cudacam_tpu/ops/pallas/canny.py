@@ -160,6 +160,63 @@ def canny_to_stage_pallas(
     return out
 
 
+def canny_to_stage_pallas_batched(
+    frames: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    cfg: CannyConfig,
+    final_stage: CannyStage,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched (B, H, W[, C]) dispatch on the Pallas backend. The full-run
+    hot path (HYSTER at mega-eligible shapes) runs the whole batch in ONE
+    resident megakernel launch (megakernel.canny_mega_batched — frames as
+    grid steps, the sweep_fused pattern; r5: removes lax.map's ~16
+    us/frame dispatch overhead, engine._map_batch's r4 measurement).
+    Everything else keeps the lax.map form (Pallas manual DMA grids don't
+    vectorise under vmap)."""
+    from cudacam_tpu.ops.pallas.megakernel import (
+        canny_mega_pipeline_batched,
+    )
+
+    final_stage = CannyStage(final_stage)
+    per_frame_ok = (
+        (_planar_ok(frames[0]) if frames.ndim == 4 else _gray_ok(frames[0]))
+        if frames.shape[0] > 0
+        else False
+    )
+    if (
+        final_stage == CannyStage.HYSTER
+        and per_frame_ok
+        and mega_ok(frames.shape[1], frames.shape[2])
+    ):
+        planar = (
+            jnp.transpose(frames, (0, 3, 1, 2))
+            if frames.ndim == 4
+            else frames
+        )
+        return canny_mega_pipeline_batched(
+            planar,
+            low,
+            high,
+            kernel_size=cfg.kernel_size,
+            grad_coeff=cfg.grad_coeff,
+            norm=cfg.norm,
+            parity=cfg.parity,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters,
+            cont=cfg.continuation,
+            interpret=interpret,
+        )
+    return jax.lax.map(
+        lambda f: canny_to_stage_pallas(
+            f, low, high, cfg, final_stage, interpret=interpret
+        ),
+        frames,
+    )
+
+
 def threshold_sweep_pallas(
     frame: jnp.ndarray,
     lows: jnp.ndarray,

@@ -167,6 +167,7 @@ def planar_ingest_mono(
     n_blocks: int,
     img_h: int,
     width: int,
+    batch_idx=None,
 ) -> jnp.ndarray:
     """Raw frame -> i32 mono slab for grid step ``i``: prefetching clamped
     slab DMA (double buffered into the ``slab`` ring), in-kernel zero fill
@@ -180,7 +181,11 @@ def planar_ingest_mono(
     h % 8 == 0, w % 128 == 0 and bh % 8 == 0 (the u8 DMA granules;
     callers gate via ops/pallas/canny._planar_ok)."""
     slab_h = bh + 2 * PAD_R
-    gray = len(frame_hbm.shape) == 2  # static: input rank picks the form
+    # ``batch_idx`` (a traced grid scalar) selects one frame of a BATCHED
+    # (B, [3,] H, W) input — the batched megakernel's grid runs (b, i)
+    # with the same per-frame DMA schedule (megakernel.canny_mega_batched).
+    rank = len(frame_hbm.shape) - (0 if batch_idx is None else 1)
+    gray = rank == 2  # static: input rank picks the form
 
     # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
     # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
@@ -195,13 +200,23 @@ def planar_ingest_mono(
         # to prove that a tile index ... is divisible by the tiling").
         rows = pl.ds(pl.multiple_of(src0, 8), n)
         if gray:
+            src = (
+                frame_hbm.at[rows, :]
+                if batch_idx is None
+                else frame_hbm.at[batch_idx, rows, :]
+            )
             return pltpu.make_async_copy(
-                frame_hbm.at[rows, :],
+                src,
                 slab.at[slot, pl.ds(dst0, n), pl.ds(PAD_C, width)],
                 sems.at[slot],
             )
+        src = (
+            frame_hbm.at[:, rows, :]
+            if batch_idx is None
+            else frame_hbm.at[batch_idx, :, rows, :]
+        )
         return pltpu.make_async_copy(
-            frame_hbm.at[:, rows, :],
+            src,
             slab.at[slot, :, pl.ds(dst0, n), pl.ds(PAD_C, width)],
             sems.at[slot],
         )

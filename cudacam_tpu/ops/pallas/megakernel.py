@@ -127,12 +127,14 @@ def mega_ok(h: int, w: int) -> bool:
     return _mega_geometry(h, w) is not None
 
 
-def _unpack_out(f_ref, outbuf, osems, out_hbm, h: int, w: int, n_words: int):
+def _unpack_out(f_ref, outbuf, osems, out_hbm, h: int, w: int, n_words: int,
+                frame_idx=None):
     """Unpack the converged FINAL plane + manual DMA out, double buffered
     per word-chunk (the pipelined out-spec path can't work in either
     caller: every output block depends on the converged global state).
     Shared by the megakernel's last grid step and the phase-2 continuation
-    kernel."""
+    kernel; ``frame_idx`` targets one frame of a batched (B, H, W) output
+    (the batched megakernel)."""
     io32 = jax.lax.broadcasted_iota(jnp.uint32, (32, 1), 0)
     ch_rows = outbuf.shape[1]
     ckw = ch_rows // 32
@@ -140,9 +142,14 @@ def _unpack_out(f_ref, outbuf, osems, out_hbm, h: int, w: int, n_words: int):
 
     def out_dma(j):
         n_rows = min(ch_rows, h - j * ch_rows)
+        dst = (
+            out_hbm.at[pl.ds(j * ch_rows, n_rows), :]
+            if frame_idx is None
+            else out_hbm.at[frame_idx, pl.ds(j * ch_rows, n_rows), :]
+        )
         return pltpu.make_async_copy(
             outbuf.at[j % 2, pl.ds(0, n_rows), :],
-            out_hbm.at[pl.ds(j * ch_rows, n_rows), :],
+            dst,
             osems.at[j % 2],
         )
 
@@ -865,6 +872,302 @@ def _cont_split(
         chunk=_SPLIT_CHUNK, it0=it0, interpret=interpret,
     )
     return unpack_core_call(f, 0, 0, h, w, interpret=interpret)
+
+
+def _kernel_batched(
+    lo_ref,
+    hi_ref,
+    frame_hbm,
+    out_hbm,
+    flags_ref,
+    fout_hbm,
+    pout_hbm,
+    slab,
+    f_ref,
+    p_ref,
+    outbuf,
+    sems,
+    osems,
+    *,
+    bh: int,
+    n_blocks: int,
+    hwp: int,
+    wp: int,
+    h: int,
+    w: int,
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+):
+    """The megakernel's batch form: grid (B, n_blocks), ONE launch for the
+    whole multi-camera batch — frames run back-to-back on the RESIDENT
+    scratch (the sweep_fused pattern over frames instead of threshold
+    pairs), eliminating lax.map's ~16 us/frame dispatch overhead
+    (engine._map_batch's r4 measurement). Per frame the body IS _kernel's
+    unsharded path (origin/ring static zeros; every f_ref/p_ref word row
+    is overwritten by the frame's own packs, so state reuse across frames
+    needs no reset); flags, the edge map, and — for still-growing frames —
+    the exported planes land at the frame's batch index."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    kw = bh // 32
+
+    mono = ff.planar_ingest_mono(
+        frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
+        width=w, batch_idx=b,
+    )
+    valid = ff._valid_mask_i32(
+        i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
+    )
+    thresh = ff._stage_chain(
+        mono, valid, lo_ref[0], hi_ref[0],
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, out_stages=(CannyStage.THRESH,),
+        emit=lambda stage, x: None,
+    )
+    core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
+    io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    fw = jnp.sum(
+        (core == FINAL_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
+        axis=1, dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    pw = jnp.sum(
+        (core == CANDIDATE_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
+        axis=1, dtype=jnp.int32,
+    ).astype(jnp.uint32)
+    for j in range(n_blocks):
+
+        @pl.when(i == j)
+        def _(j=j):
+            f_ref[j * kw : (j + 1) * kw, :] = fw
+            p_ref[j * kw : (j + 1) * kw, :] = pw
+
+    n_pack = n_blocks * kw  # word rows the packs cover; the rest is guard
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        f_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
+        p_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
+        dilates, _ = bitpack._make_ops(
+            h, w, dilate_steps, carry_every=carry_every,
+            shifts=hfz._make_pl_shifts(hwp, wp),
+        )
+        p = p_ref[:, :]
+
+        def round1(carry):
+            it, _ = carry
+            f = f_ref[:, :]
+            nf = dilates(f, p)
+            f_ref[:, :] = nf
+            return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+        cap1 = min(scan_after, max_iters)
+        it, changed = round1((jnp.int32(0), jnp.int32(0)))
+        it, changed = jax.lax.while_loop(
+            lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+        )
+        flags_ref[b, 0] = it
+        flags_ref[b, 1] = changed
+
+        if scan_after >= max_iters:
+            _unpack_out(
+                f_ref, outbuf, osems, out_hbm, h, w, n_pack, frame_idx=b
+            )
+        else:
+
+            @pl.when(changed == 0)
+            def _():
+                _unpack_out(
+                    f_ref, outbuf, osems, out_hbm, h, w, n_pack,
+                    frame_idx=b,
+                )
+
+            @pl.when(changed == 1)
+            def _():
+                cp_f = pltpu.make_async_copy(
+                    f_ref, fout_hbm.at[b], osems.at[0]
+                )
+                cp_p = pltpu.make_async_copy(
+                    p_ref, pout_hbm.at[b], osems.at[1]
+                )
+                cp_f.start()
+                cp_p.start()
+                cp_f.wait()
+                cp_p.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "grad_coeff", "norm", "parity",
+        "dilate_steps", "scan_after", "max_iters", "carry_every",
+        "interpret",
+    ),
+)
+def canny_mega_batched(
+    frames_planar: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    carry_every: int = bitpack._CARRY_EVERY,
+    interpret: bool = False,
+):
+    """(edge (B,H,W), flags (B,2), fpack (B,hwp,wp), ppack (B,hwp,wp)) for
+    a (B, 3, H, W) planar BGR batch (or (B, H, W) grayscale) — the whole
+    multi-camera batch in ONE kernel launch (see _kernel_batched). Frames
+    still growing at the phase boundary export their planes for the
+    per-frame continuation (canny_mega_pipeline_batched)."""
+    h, w = frames_planar.shape[-2:]
+    n_b = frames_planar.shape[0]
+    geo = _mega_geometry(h, w)
+    assert geo is not None, "caller must check mega_ok()"
+    bh, n_blocks, hwp, wp = geo
+    # Mosaic requires sliced DMA row counts to be 8-aligned: the per-frame
+    # plane export copies f_ref -> fout[b], so the batched planes carry
+    # extra PERMANENT-ZERO guard word-rows up to the 8-row granule
+    # (semantically free — guard rows hold zeros forever; the roll wraps
+    # see only zeros, and the continuations ignore rows past ceil(h/32)).
+    hwp = -(-hwp // 8) * 8
+    gray = frames_planar.ndim == 3
+    sw = ff._slab_w(w)
+    big = hwp * wp * 4 > hfz._PLANE_BUDGET
+    vmem_cap = (100 if big else 64) * 1024 * 1024
+    ch_rows = 64 if big else 128
+    slab_shape = (
+        (2, bh + 2 * ff.PAD_R, sw) if gray
+        else (2, 3, bh + 2 * ff.PAD_R, sw)
+    )
+    kern = functools.partial(
+        _kernel_batched,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, carry_every=carry_every,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # low, high
+        grid=(n_b, n_blocks),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            # Full-array SMEM (B, 2): a BLOCKED SMEM out spec fails the
+            # TPU lowering's last-two-dims divisibility check; the kernel
+            # indexes row b directly.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(slab_shape, jnp.uint8),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((hwp, wp), jnp.uint32),
+            pltpu.VMEM((2, ch_rows, w), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, flags, fpack, ppack = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_b, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((n_b, 2), jnp.int32),
+            jax.ShapeDtypeStruct((n_b, hwp, wp), jnp.uint32),
+            jax.ShapeDtypeStruct((n_b, hwp, wp), jnp.uint32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_cap,
+            has_side_effects=True,  # outputs leave via manual DMA
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(low, jnp.int32).reshape(1),
+        jnp.asarray(high, jnp.int32).reshape(1),
+        frames_planar,
+    )
+    return out, flags, fpack, ppack
+
+
+def canny_mega_pipeline_batched(
+    frames_planar: jnp.ndarray,
+    low: jnp.ndarray,
+    high: jnp.ndarray,
+    kernel_size: int = 5,
+    grad_coeff: int = 4,
+    norm: str = "l2",
+    parity: str = "reference",
+    dilate_steps: int = 16,
+    scan_after: int = 10,
+    max_iters: int = 100,
+    cont: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched production pipeline: ONE megakernel launch for the whole
+    (B, ...) batch, then a per-frame phase-2 continuation cond (rarely
+    taken — the derived scan_after defaults cover every measured scene).
+    Bit-identical per frame to canny_mega_pipeline (same schedule, same
+    phase split)."""
+    edge, flags, fpack, ppack = canny_mega_batched(
+        frames_planar, low, high,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
+        max_iters=max_iters, interpret=interpret,
+    )
+    if scan_after >= max_iters:
+        return edge
+    h, w = frames_planar.shape[-2:]
+    _, _, hwp, wp = _mega_geometry(h, w)
+    hwp = -(-hwp // 8) * 8  # the batched kernel's padded plane rows
+    cont = _resolve_cont(cont, h, w, hwp, wp)
+
+    def tail(args):
+        edge_b, f_b, p_b, fl = args
+
+        def _continue(ops):
+            f, p, it0 = ops
+            if cont == "pallas":
+                out, _ = _cont_call(
+                    f, p, it0, h=h, w=w, hwp=hwp, wp=wp,
+                    dilate_steps=dilate_steps, max_iters=max_iters,
+                    interpret=interpret,
+                )
+                return out
+            if cont == "split":
+                return _cont_split(
+                    f, p, it0[0], h=h, w=w,
+                    dilate_steps=dilate_steps, max_iters=max_iters,
+                    interpret=interpret,
+                )
+            return _cont_xla(
+                f, p, it0[0], h=h, w=w,
+                dilate_steps=dilate_steps, max_iters=max_iters,
+            )
+
+        return jax.lax.cond(
+            fl[1] == 1, _continue, lambda ops: edge_b, (f_b, p_b, fl[:1])
+        )
+
+    # Outer gate: when NO frame escalated (the common case — the derived
+    # scan_after covers every measured scene), skip the per-frame map
+    # entirely; an untaken XLA branch costs nothing.
+    return jax.lax.cond(
+        jnp.any(flags[:, 1] == 1),
+        lambda args: jax.lax.map(tail, args),
+        lambda args: args[0],
+        (edge, fpack, ppack, flags),
+    )
 
 
 def _resolve_cont(cont: str, h: int, w: int, hwp: int, wp: int) -> str:

@@ -348,3 +348,110 @@ class TestSplitContinuation:
         _, _, hwp, wp = mk._mega_geometry(80, 256)
         for c in ("pallas", "xla", "split"):
             assert mk._resolve_cont(c, 80, 256, hwp, wp) == c
+
+
+@pytest.mark.slow
+class TestBatchedMegakernel:
+    """canny_mega_batched / canny_mega_pipeline_batched (r5): the whole
+    batch in ONE resident launch — per-frame outputs must be bit-exact
+    vs the single-frame pipeline/oracle, including when only SOME frames
+    escalate to phase 2 (the per-frame continuation cond)."""
+
+    def _frames(self, n=3, h=80, w=256):
+        import jax.numpy as jnp
+
+        from cudacam_tpu.io.sources import make_scene
+
+        return jnp.stack(
+            [jnp.asarray(make_scene(h, w, seed=10 + s)) for s in range(n)]
+        )
+
+    @pytest.mark.parametrize("scan_after", [12, 1])
+    def test_matches_per_frame_oracle(self, scan_after):
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import (
+            canny_mega_pipeline_batched,
+        )
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        frames = self._frames(3, h, w)
+        cfg = CannyConfig(height=h, width=w,
+                          hysteresis_scan_after=scan_after)
+        lo, hi = np.int32(10), np.int32(40)
+        got = np.asarray(canny_mega_pipeline_batched(
+            jnp.transpose(frames, (0, 3, 1, 2)), lo, hi,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=scan_after, max_iters=cfg.max_hysteresis_iters,
+            interpret=True,
+        ))
+        for b in range(3):
+            want = np.asarray(xla_ops.canny_to_stage(
+                frames[b], lo, hi, cfg, CannyStage.HYSTER))
+            np.testing.assert_array_equal(got[b], want, err_msg=f"b={b}")
+
+    def test_gray_batch(self):
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.io.sources import make_scene
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import (
+            canny_mega_pipeline_batched,
+        )
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 64, 256
+        cfg = CannyConfig(height=h, width=w, channels=1)
+        frames = jnp.stack([
+            jnp.asarray(make_scene(h, w, seed=s)[..., 0].copy())
+            for s in range(2)
+        ])
+        lo, hi = np.int32(10), np.int32(40)
+        got = np.asarray(canny_mega_pipeline_batched(
+            frames, lo, hi,
+            dilate_steps=cfg.hysteresis_inner_steps,
+            scan_after=cfg.hysteresis_scan_after,
+            max_iters=cfg.max_hysteresis_iters, interpret=True,
+        ))
+        for b in range(2):
+            want = np.asarray(xla_ops.canny_to_stage(
+                frames[b], lo, hi, cfg, CannyStage.HYSTER))
+            np.testing.assert_array_equal(got[b], want, err_msg=f"b={b}")
+
+    def test_engine_batched_routes_through_batched_mega(self):
+        """The engine's batched pallas path at a mega-eligible shape must
+        produce per-frame bit-exact results (and still accept runtime
+        threshold changes without recompiling)."""
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.engine import CannyEngine
+        from cudacam_tpu.ops import numpy_oracle as oracle
+
+        h, w = 64, 256
+        cfg = CannyConfig(height=h, width=w, backend="pallas",
+                          interpret=True)
+        eng = CannyEngine(cfg)
+        frames = np.stack([
+            np.asarray(self._frames(1, h, w)[0]),
+            np.asarray(self._frames(1, h, w)[0])[::-1].copy(),
+        ])
+        out = np.asarray(eng.process(frames))
+        for b in range(2):
+            want = oracle.canny_pipeline(frames[b], 10, 40)["hyster"]
+            np.testing.assert_array_equal(out[b], want, err_msg=f"b={b}")
+        # runtime threshold change: no recompile
+        from cudacam_tpu.stages import CannyStage
+
+        fn = eng._get_to_stage(CannyStage.HYSTER, True)
+        n0 = fn._cache_size()
+        eng.set_low_threshold(20)
+        eng.set_high_threshold(60)
+        out2 = np.asarray(eng.process(frames))
+        assert fn._cache_size() == n0
+        want2 = oracle.canny_pipeline(frames[0], 20, 60)["hyster"]
+        np.testing.assert_array_equal(out2[0], want2)

@@ -445,6 +445,28 @@ out_s3 = np.asarray(
 if not np.array_equal(out_s3[0], ref_m):
     failures.append(f"sharded saturate kernel n={(out_s3[0] != ref_m).sum()}")
 
+# Batched megakernel ON HARDWARE (r5): the whole batch as ONE resident
+# launch (grid over frames) must be per-frame bit-exact, including when
+# frames escalate (scan_after=1 forces the per-frame continuation cond).
+from cudacam_tpu.ops.pallas.megakernel import (
+    canny_mega_pipeline_batched as _cmpb,
+)
+
+fr_b2 = np.stack([fr_m, fr_m[::-1].copy()])
+pl_b2 = jnp.asarray(fr_b2.transpose(0, 3, 1, 2))
+ref_b2 = [oracle.canny_pipeline(f, 10, 40)["hyster"] for f in fr_b2]
+for sa_b in (cfg_m.hysteresis_scan_after, 1):
+    out_b2 = np.asarray(_cmpb(
+        pl_b2, jnp.int32(10), jnp.int32(40),
+        dilate_steps=16, scan_after=sa_b, max_iters=100,
+    ))
+    for bb in range(2):
+        if not np.array_equal(out_b2[bb], ref_b2[bb]):
+            failures.append(
+                f"batched mega sa={sa_b} b={bb} "
+                f"n={(out_b2[bb] != ref_b2[bb]).sum()}"
+            )
+
 # Grayscale (channels=1) sharded mega-export on hardware: the channel-free
 # ingest through the export-mode kernel.
 gr_s = oracle.rgb2mono(fr_m)
