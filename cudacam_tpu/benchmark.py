@@ -225,11 +225,13 @@ def full_table() -> None:
         base = seed0_single.get(label)
         if base is None:
             return "identical frames: measures batching itself"
-        return ("identical frames: measures batching itself — frames run "
-                "back-to-back via lax.map in one executable; overhead = "
-                f"this row minus the {base:.4f} seed-0 single-frame row "
-                "(like-for-like convergence depth), flat in B; unrolled "
-                "call sites measured WORSE (engine._map_batch)")
+        return ("identical frames: measures batching itself — ONE resident "
+                "megakernel launch for the whole batch (grid over frames, "
+                "r5 canny_mega_batched; the pre-r5 lax.map form paid ~16 "
+                "us/frame more); compare the "
+                f"{base:.4f} seed-0 single-frame row (like-for-like "
+                "convergence depth) — the batch amortizes even the "
+                "per-launch fixed cost, flat in B")
 
     for b, mixed in ((4, False), (8, False), (8, True)):
         fsrc = (
@@ -358,6 +360,18 @@ def full_table() -> None:
                 "for cap-class streams (12 us/frame untaken-branch tax "
                 "on scenes, ~3x cheaper taken phase 2)")
 
+        sp4k = jax.device_put(make_spiral_frame(2160, 3840))
+        eng_wc4 = CannyEngine(CannyConfig(height=2160, width=3840))
+        eng_wc4.warmup()
+
+        def run_wc4():
+            jax.block_until_ready(eng_wc4.process(sp4k))
+        run_wc4()
+        dev, wall = _measure_ms_per_frame(run_wc4, 1, on_tpu, passes=3)
+        add("4K worst case through engine", dev, wall,
+            "cap-class 4K input: megakernel phase 1 + the taken Pallas "
+            "continuation (the 4K auto form) to the 100-round cap")
+
         sp8k = jax.device_put(make_spiral_frame(4320, 7680))
         eng_wc8 = CannyEngine(CannyConfig(height=4320, width=7680))
         eng_wc8.warmup()
@@ -367,9 +381,12 @@ def full_table() -> None:
         run_wc8()
         dev, wall = _measure_ms_per_frame(run_wc8, 1, on_tpu, passes=3)
         add("8K worst case through engine (escalation cliff)", dev, wall,
-            "cap-class 8K input: megakernel phase 1 + the taken 8K XLA "
-            "continuation (the only compilable 8K phase-2 form); prices "
-            "the reference's 100-relaunch worst case at 16x the pixels "
+            "cap-class 8K input: megakernel phase 1 + the taken "
+            "COLUMN-SPLIT continuation (r5: 4K-class slices + seam "
+            "rounds under a total-round budget; the monolithic 8K scan "
+            "kernel never compiles, and the r4-era XLA form measured "
+            "38.94 ms on this input). Prices the reference's "
+            "100-relaunch worst case at 16x the pixels "
             "(cannyEdgeH.cu:297-338)")
 
     # Sharded path (BASELINE >=80% scaling target; no pod attached — see
