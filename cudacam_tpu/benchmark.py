@@ -571,7 +571,14 @@ def _sharded_section(anchors: dict) -> list:
         print(f"  sharded virtual probe skipped: {e}", file=sys.stderr)
     member = {}
     try:
-        with open("MEMBER_TILE.json") as fh:
+        # Repo-root-relative (the probe writes it there via __file__):
+        # a CWD-relative open silently drops the whole projection when
+        # the bench runs from another directory (review catch).
+        _mt = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "MEMBER_TILE.json",
+        )
+        with open(_mt) as fh:
             member = json.load(fh)
     except Exception as e:  # pragma: no cover
         print(f"  MEMBER_TILE.json unavailable: {e}", file=sys.stderr)

@@ -87,6 +87,11 @@ def make_spiral_frame(h: int, w: int, v: int = 65, gap: int = 12) -> np.ndarray:
     host relaunches, cannyEdgeH.cu:313). Arms sit ``gap`` px apart so the
     5x5 blur keeps each ridge distinct; ``v=65`` puts flank magnitudes in
     (low, high] while the blob's ring exceeds high."""
+    if h < 2 * gap + 4 or w < 2 * gap + 4:
+        raise ValueError(
+            f"spiral frame needs h, w >= {2 * gap + 4} (gap={gap}); "
+            f"got {h}x{w}"
+        )
     img = np.zeros((h, w), np.uint8)
     top, left, bot, right = 1, 1, h - 2, w - 2
     pts = []
@@ -442,10 +447,10 @@ def open_source(spec: str, **kw) -> FrameSource:
             h, w = (int(v) for v in spec.split(":", 1)[1].lower().split("x"))
         else:
             h, w = 1080, 1920
-        frame = make_spiral_frame(h, w)
-        n = kw.pop("n_frames", 0)
+        kw.pop("n_frames", None)  # unbounded: --frames bounds at app level
+        kw.setdefault("loop", True)
         return SequenceSource.from_array(
-            np.stack([frame] * max(1, n or 30)), **kw
+            make_spiral_frame(h, w)[None], **kw
         )
     if spec.startswith("webcam"):
         dev = int(spec.split(":", 1)[1]) if ":" in spec else 0

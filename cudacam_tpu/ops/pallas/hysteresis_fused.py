@@ -537,10 +537,16 @@ def _sweep_kernel(
         # cap-TRUNCATED outputs may differ (they converge from further
         # along — same carve-out class as the sharded loop,
         # docs/parity.md).
+        # Clamp the predecessor indices: at i == 0 the (i > 0) mask
+        # discards the comparison, but jnp.where still evaluates both
+        # operands and a raw [2*i-2] would be an out-of-contract
+        # negative SMEM read (a review catch — benign today, undefined
+        # under future Mosaic bounds checking).
+        prev = jnp.maximum(2 * i - 2, 0)
         seed_keep = jnp.where(
             (i > 0)
-            & (bounds_ref[2 * i - 2] >= lo_c)
-            & (bounds_ref[2 * i - 1] >= hi_c),
+            & (bounds_ref[prev] >= lo_c)
+            & (bounds_ref[prev + 1] >= hi_c),
             jnp.uint32(0xFFFFFFFF),
             jnp.uint32(0),
         )

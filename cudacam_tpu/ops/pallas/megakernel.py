@@ -283,77 +283,119 @@ def _kernel(
     # ---- last step: phase-1 convergence + stream the edge map out --------
     @pl.when(i == n_blocks - 1)
     def _():
-        f_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
-        p_ref[hwp - 1 :, :] = jnp.zeros((1, wp), jnp.uint32)
-
-        # Schedule extents are the LOGICAL frame dims (hysteresis_fused's
-        # log_h/log_w argument), so cadence matches every other backend.
-        dilates, _ = bitpack._make_ops(
-            h, w, dilate_steps, carry_every=carry_every,
-            shifts=hfz._make_pl_shifts(hwp, wp),
+        _phase1_finalize(
+            f_ref, p_ref, outbuf, osems, out_hbm, fout_hbm, pout_hbm,
+            flags_ref, jnp.int32(0),
+            h=h, w=w, hwp=hwp, wp=wp, n_pack=hwp - 1,
+            dilate_steps=dilate_steps, scan_after=scan_after,
+            max_iters=max_iters, carry_every=carry_every,
+            export_only=export_only, frame_idx=None,
         )
-        p = p_ref[:, :]
 
-        def round1(carry):
-            it, _ = carry
-            f = f_ref[:, :]
-            nf = dilates(f, p)
-            f_ref[:, :] = nf
-            return it + 1, jnp.max((nf != f).astype(jnp.int32))
 
-        # Identical counting to bitpack.hysteresis_packed's phase 1: one
-        # unconditional round (the reference always launches once before
-        # reading its flag, cannyEdgeH.cu:313), then rounds while growing,
-        # to min(scan_after, max_iters). flags[0,1] == 1 on exit means the
-        # frame needs phase 2 — the caller's cond re-runs the two-kernel
-        # path (module docstring).
-        cap1 = min(scan_after, max_iters)
-        it, changed = round1((jnp.int32(0), jnp.int32(0)))
-        it, changed = jax.lax.while_loop(
-            lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+def _phase1_finalize(
+    f_ref,
+    p_ref,
+    outbuf,
+    osems,
+    out_hbm,
+    fout_dst,
+    pout_dst,
+    flags_ref,
+    flags_row,
+    *,
+    h: int,
+    w: int,
+    hwp: int,
+    wp: int,
+    n_pack: int,
+    dilate_steps: int,
+    scan_after: int,
+    max_iters: int,
+    carry_every: int,
+    export_only: bool,
+    frame_idx,
+):
+    """The megakernel's last-block tail, shared by the single-frame kernel
+    and the batched kernel (one frame per grid row): zero the guard rows
+    past the packed words, run the phase-1 dilation rounds, record flags,
+    then emit the edge map / export the packed planes per the static
+    mode. ``flags_row``/``frame_idx``/``fout_dst`` carry the batch
+    indexing; ``n_pack`` is the word-row count the packs covered (the
+    batched planes are 8-row padded, so guard rows may exceed one)."""
+    f_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
+    p_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
+
+    # Schedule extents are the LOGICAL frame dims (hysteresis_fused's
+    # log_h/log_w argument), so cadence matches every other backend.
+    dilates, _ = bitpack._make_ops(
+        h, w, dilate_steps, carry_every=carry_every,
+        shifts=hfz._make_pl_shifts(hwp, wp),
+    )
+    p = p_ref[:, :]
+
+    def round1(carry):
+        it, _ = carry
+        f = f_ref[:, :]
+        nf = dilates(f, p)
+        f_ref[:, :] = nf
+        return it + 1, jnp.max((nf != f).astype(jnp.int32))
+
+    # Identical counting to bitpack.hysteresis_packed's phase 1: one
+    # unconditional round (the reference always launches once before
+    # reading its flag, cannyEdgeH.cu:313), then rounds while growing,
+    # to min(scan_after, max_iters). flags[row,1] == 1 on exit means the
+    # frame needs phase 2 — the caller's cond owns it (module docstring).
+    cap1 = min(scan_after, max_iters)
+    it, changed = round1((jnp.int32(0), jnp.int32(0)))
+    it, changed = jax.lax.while_loop(
+        lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
+    )
+    flags_ref[flags_row, 0] = it
+    flags_ref[flags_row, 1] = changed
+
+    def export():
+        cp_f = pltpu.make_async_copy(f_ref, fout_dst, osems.at[0])
+        cp_p = pltpu.make_async_copy(p_ref, pout_dst, osems.at[1])
+        cp_f.start()
+        cp_p.start()
+        cp_f.wait()
+        cp_p.wait()
+
+    if export_only:
+        # Sharded mode: the packed planes ARE the product (the collective
+        # round loop carries them as state, parallel/packed_halo.py); the
+        # edge map is unpacked only at global convergence by a separate
+        # kernel. Always export.
+        export()
+    elif scan_after >= max_iters:
+        # The cap IS phase 1 (cap1 == max_iters): the exit state is
+        # always final — converged or cap-TRUNCATED, the same monotone
+        # under-approximation every backend returns at this config
+        # (docs/parity.md). Phase 2 is unreachable, so the export code
+        # is statically elided and the edge map always emitted.
+        _unpack_out(
+            f_ref, outbuf, osems, out_hbm, h, w, n_pack,
+            frame_idx=frame_idx,
         )
-        flags_ref[0, 0] = it
-        flags_ref[0, 1] = changed
+    else:
+        # Converged (the overwhelmingly common case): emit the edge map.
+        # A still-growing exit here implies it == scan_after < max_iters
+        # — never the cap — so the continuation owns it.
+        @pl.when(changed == 0)
+        def _():
+            _unpack_out(
+                f_ref, outbuf, osems, out_hbm, h, w, n_pack,
+                frame_idx=frame_idx,
+            )
 
-        if export_only:
-            # Sharded mode: the packed planes ARE the product (the
-            # collective round loop carries them as state,
-            # parallel/packed_halo.py); the edge map is unpacked only at
-            # global convergence by a separate kernel. Always export.
-            cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
-            cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
-            cp_f.start()
-            cp_p.start()
-            cp_f.wait()
-            cp_p.wait()
-        elif scan_after >= max_iters:
-            # The cap IS phase 1 (cap1 == max_iters): the exit state is
-            # always final — converged or cap-TRUNCATED, the same monotone
-            # under-approximation every backend returns at this config
-            # (docs/parity.md). Phase 2 is unreachable, so the export code
-            # is statically elided and the edge map always emitted.
-            _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
-        else:
-            # Converged (the overwhelmingly common case): emit the edge
-            # map. A still-growing exit here implies it == scan_after <
-            # max_iters — never the cap — so the continuation owns it.
-            @pl.when(changed == 0)
-            def _():
-                _unpack_out(f_ref, outbuf, osems, out_hbm, h, w, hwp - 1)
-
-            # Still growing at the phase boundary: skip the (wasted)
-            # unpack and export the packed state + round count for the
-            # phase-2 continuation instead (module docstring). The
-            # edge-map output is left unwritten — the caller's cond
-            # discards it.
-            @pl.when(changed == 1)
-            def _():
-                cp_f = pltpu.make_async_copy(f_ref, fout_hbm, osems.at[0])
-                cp_p = pltpu.make_async_copy(p_ref, pout_hbm, osems.at[1])
-                cp_f.start()
-                cp_p.start()
-                cp_f.wait()
-                cp_p.wait()
+        # Still growing at the phase boundary: skip the (wasted) unpack
+        # and export the packed state + round count for the phase-2
+        # continuation instead (module docstring). The edge-map output
+        # is left unwritten — the caller's cond discards it.
+        @pl.when(changed == 1)
+        def _():
+            export()
 
 
 @functools.partial(
@@ -951,54 +993,14 @@ def _kernel_batched(
 
     @pl.when(i == n_blocks - 1)
     def _():
-        f_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
-        p_ref[n_pack:, :] = jnp.zeros((hwp - n_pack, wp), jnp.uint32)
-        dilates, _ = bitpack._make_ops(
-            h, w, dilate_steps, carry_every=carry_every,
-            shifts=hfz._make_pl_shifts(hwp, wp),
+        _phase1_finalize(
+            f_ref, p_ref, outbuf, osems, out_hbm,
+            fout_hbm.at[b], pout_hbm.at[b], flags_ref, b,
+            h=h, w=w, hwp=hwp, wp=wp, n_pack=n_pack,
+            dilate_steps=dilate_steps, scan_after=scan_after,
+            max_iters=max_iters, carry_every=carry_every,
+            export_only=False, frame_idx=b,
         )
-        p = p_ref[:, :]
-
-        def round1(carry):
-            it, _ = carry
-            f = f_ref[:, :]
-            nf = dilates(f, p)
-            f_ref[:, :] = nf
-            return it + 1, jnp.max((nf != f).astype(jnp.int32))
-
-        cap1 = min(scan_after, max_iters)
-        it, changed = round1((jnp.int32(0), jnp.int32(0)))
-        it, changed = jax.lax.while_loop(
-            lambda c: (c[1] == 1) & (c[0] < cap1), round1, (it, changed)
-        )
-        flags_ref[b, 0] = it
-        flags_ref[b, 1] = changed
-
-        if scan_after >= max_iters:
-            _unpack_out(
-                f_ref, outbuf, osems, out_hbm, h, w, n_pack, frame_idx=b
-            )
-        else:
-
-            @pl.when(changed == 0)
-            def _():
-                _unpack_out(
-                    f_ref, outbuf, osems, out_hbm, h, w, n_pack,
-                    frame_idx=b,
-                )
-
-            @pl.when(changed == 1)
-            def _():
-                cp_f = pltpu.make_async_copy(
-                    f_ref, fout_hbm.at[b], osems.at[0]
-                )
-                cp_p = pltpu.make_async_copy(
-                    p_ref, pout_hbm.at[b], osems.at[1]
-                )
-                cp_f.start()
-                cp_p.start()
-                cp_f.wait()
-                cp_p.wait()
 
 
 @functools.partial(
@@ -1129,8 +1131,12 @@ def canny_mega_pipeline_batched(
         return edge
     h, w = frames_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
-    hwp = -(-hwp // 8) * 8  # the batched kernel's padded plane rows
+    # Policy from the UNPADDED geometry (identical form choice to the
+    # single-frame pipeline — a review catch: boundary shapes must not
+    # pick a different continuation batched vs single); the continuation
+    # KERNEL shapes use the batched kernel's 8-row-padded planes.
     cont = _resolve_cont(cont, h, w, hwp, wp)
+    hwp = -(-hwp // 8) * 8
 
     def tail(args):
         edge_b, f_b, p_b, fl = args
