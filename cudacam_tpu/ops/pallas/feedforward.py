@@ -168,6 +168,7 @@ def planar_ingest_mono(
     img_h: int,
     width: int,
     batch_idx=None,
+    n_batch: int = 1,
 ) -> jnp.ndarray:
     """Raw frame -> i32 mono slab for grid step ``i``: prefetching clamped
     slab DMA (double buffered into the ``slab`` ring), in-kernel zero fill
@@ -184,8 +185,15 @@ def planar_ingest_mono(
     # ``batch_idx`` (a traced grid scalar) selects one frame of a BATCHED
     # (B, [3,] H, W) input — the batched megakernel's grid runs (b, i)
     # with the same per-frame DMA schedule (megakernel.canny_mega_batched).
+    # Slot accounting then runs on the GLOBAL step g = b*n_blocks + i so
+    # the double buffer carries ACROSS frame boundaries: each frame's
+    # last block prefetches the NEXT frame's block 0 (``n_batch`` > 1),
+    # removing the per-frame block-0 DMA bubble. Single-frame callers
+    # (batch_idx None) are byte-identical to the pre-batched form
+    # (g == i, no cross-frame branch).
     rank = len(frame_hbm.shape) - (0 if batch_idx is None else 1)
     gray = rank == 2  # static: input rank picks the form
+    g = i if batch_idx is None else batch_idx * n_blocks + i
 
     # Clamped windows: rows [block*bh - PAD_R, block*bh + bh + PAD_R)
     # intersected with [0, h). With h % 8 == 0 and bh % 8 == 0 every
@@ -194,7 +202,7 @@ def planar_ingest_mono(
     last = n_blocks - 1
     n_last = img_h - last * bh + PAD_R  # rows available for the last slab
 
-    def _dma(src0, dst0, n, slot):
+    def _dma(src0, dst0, n, slot, bidx):
         # pl.multiple_of: the traced row offsets are bh-multiples +- the
         # 8-row PAD_R, but Mosaic can't prove that on its own ("Failed
         # to prove that a tile index ... is divisible by the tiling").
@@ -202,8 +210,8 @@ def planar_ingest_mono(
         if gray:
             src = (
                 frame_hbm.at[rows, :]
-                if batch_idx is None
-                else frame_hbm.at[batch_idx, rows, :]
+                if bidx is None
+                else frame_hbm.at[bidx, rows, :]
             )
             return pltpu.make_async_copy(
                 src,
@@ -212,8 +220,8 @@ def planar_ingest_mono(
             )
         src = (
             frame_hbm.at[:, rows, :]
-            if batch_idx is None
-            else frame_hbm.at[batch_idx, :, rows, :]
+            if bidx is None
+            else frame_hbm.at[bidx, :, rows, :]
         )
         return pltpu.make_async_copy(
             src,
@@ -221,41 +229,51 @@ def planar_ingest_mono(
             sems.at[slot],
         )
 
-    def _each_branch(block_idx, slot, act):
+    def _each_branch(block_idx, slot, act, bidx=batch_idx):
         if n_blocks == 1:
-            act(_dma(0, PAD_R, img_h, slot))
+            act(_dma(0, PAD_R, img_h, slot, bidx))
             return
 
         @pl.when(block_idx == 0)
         def _():
-            act(_dma(0, PAD_R, bh + PAD_R, slot))
+            act(_dma(0, PAD_R, bh + PAD_R, slot, bidx))
 
         @pl.when((block_idx > 0) & (block_idx < last))
         def _():
-            act(_dma(block_idx * bh - PAD_R, 0, slab_h, slot))
+            act(_dma(block_idx * bh - PAD_R, 0, slab_h, slot, bidx))
 
         @pl.when(block_idx == last)
         def _():
-            act(_dma(last * bh - PAD_R, 0, n_last, slot))
+            act(_dma(last * bh - PAD_R, 0, n_last, slot, bidx))
 
-    @pl.when(i == 0)
+    @pl.when(g == 0)
     def _():
         _each_branch(0, 0, lambda d: d.start())
 
     @pl.when(i + 1 < n_blocks)
     def _():
-        _each_branch(i + 1, (i + 1) % 2, lambda d: d.start())
+        _each_branch(i + 1, (g + 1) % 2, lambda d: d.start())
 
-    _each_branch(i, i % 2, lambda d: d.wait())
+    if batch_idx is not None and n_batch > 1:
+        # Cross-frame prefetch: frame b's last block starts frame b+1's
+        # block 0 into the other slot — the double buffer never drains
+        # at a frame boundary.
+        @pl.when((i == last) & (batch_idx + 1 < n_batch))
+        def _():
+            _each_branch(
+                0, (g + 1) % 2, lambda d: d.start(), bidx=batch_idx + 1
+            )
+
+    _each_branch(i, g % 2, lambda d: d.wait())
 
     # Zero the slab ring the clamped DMA leaves unfilled — the zero
     # padding semantics the XLA pad pass provided on the mono path
     # (reference zero-fills its shared-memory tiles, cannyEdgeD.cu:91-98).
     # Column margins only depend on the buffer, not the block: zero them
-    # once per buffer (steps 0 and 1), after wait() so the stores cannot
-    # overlap this buffer's in-flight fill.
+    # once per buffer (global steps 0 and 1), after wait() so the stores
+    # cannot overlap this buffer's in-flight fill.
     sw = slab.shape[-1]
-    slot = i % 2
+    slot = g % 2
     fill_last = (img_h + PAD_R) if n_blocks == 1 else n_last
 
     def _fill(rows, cols, n_rows, n_cols):
@@ -267,7 +285,7 @@ def planar_ingest_mono(
         else:
             slab[slot, :, rows, cols] = z
 
-    @pl.when(i <= min(1, n_blocks - 1))
+    @pl.when(g <= 1)
     def _():
         _fill(slice(None), slice(None, PAD_C), slab_h, PAD_C)
         _fill(slice(None), slice(PAD_C + width, None), slab_h,

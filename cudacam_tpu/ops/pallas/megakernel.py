@@ -937,6 +937,7 @@ def _kernel_batched(
     wp: int,
     h: int,
     w: int,
+    n_batch: int,
     kernel_size: int,
     grad_coeff: int,
     norm: str,
@@ -961,7 +962,7 @@ def _kernel_batched(
 
     mono = ff.planar_ingest_mono(
         frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
-        width=w, batch_idx=b,
+        width=w, batch_idx=b, n_batch=n_batch,
     )
     valid = ff._valid_mask_i32(
         i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
@@ -1052,7 +1053,7 @@ def canny_mega_batched(
     )
     kern = functools.partial(
         _kernel_batched,
-        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w, n_batch=n_b,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
         max_iters=max_iters, carry_every=carry_every,
