@@ -61,7 +61,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     from cudacam_tpu.io import open_source
 
     src_kw = {}
-    if args.source.startswith("synthetic") and args.frames:
+    if args.source.startswith(("synthetic", "spiral")) and args.frames:
         src_kw["n_frames"] = args.frames
     source = open_source(args.source, **src_kw)
     source.start()

@@ -316,17 +316,24 @@ class SequenceSource(FrameSource):
         self._frames: Optional[np.ndarray] = None
         self._files: Optional[list] = None
         self._i = 0
+        self._served = 0
+        self._max_frames = 0
 
     @classmethod
-    def from_array(cls, frames: np.ndarray, loop: bool = False
-                   ) -> "SequenceSource":
-        """In-memory sequence (no file): used by the ``spiral:`` spec."""
+    def from_array(cls, frames: np.ndarray, loop: bool = False,
+                   max_frames: int = 0) -> "SequenceSource":
+        """In-memory sequence (no file): used by the ``spiral:`` spec.
+        ``max_frames`` bounds a looping source (0 = unbounded) so sinks
+        that run 'until the source ends' (convert, run --frames 0) still
+        terminate."""
         src = cls(path="<memory>", loop=loop)
         src._frames = np.asarray(frames, np.uint8)
+        src._max_frames = int(max_frames)
         return src
 
     def _open(self) -> None:
         self._i = 0
+        self._served = 0
         if self._path == "<memory>":
             return  # frames injected by from_array
         if os.path.isdir(self._path):
@@ -346,6 +353,10 @@ class SequenceSource(FrameSource):
             self._frames = arr
 
     def _next(self) -> Optional[np.ndarray]:
+        cap = getattr(self, "_max_frames", 0)
+        if cap and self._served >= cap:
+            return None
+        self._served = getattr(self, "_served", 0) + 1
         n = len(self._files) if self._files is not None else len(self._frames)
         if self._i >= n:
             if not self._loop:
@@ -447,10 +458,13 @@ def open_source(spec: str, **kw) -> FrameSource:
             h, w = (int(v) for v in spec.split(":", 1)[1].lower().split("x"))
         else:
             h, w = 1080, 1920
-        kw.pop("n_frames", None)  # unbounded: --frames bounds at app level
+        # One frame, looped; bounded so 'until source ends' sinks
+        # (convert, run --frames 0) terminate. --frames sets the bound
+        # (the CLI forwards it as n_frames); default 1000.
+        n = kw.pop("n_frames", 0) or 1000
         kw.setdefault("loop", True)
         return SequenceSource.from_array(
-            make_spiral_frame(h, w)[None], **kw
+            make_spiral_frame(h, w)[None], max_frames=n, **kw
         )
     if spec.startswith("webcam"):
         dev = int(spec.split(":", 1)[1]) if ":" in spec else 0

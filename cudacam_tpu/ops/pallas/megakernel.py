@@ -206,15 +206,6 @@ def _kernel(
     carry_every: int,
 ):
     i = pl.program_id(0)
-    kw = bh // 32
-
-    # ---- raw planar BGR ingest (feedforward.planar_ingest_mono: the
-    # shared clamped slab DMA + zero fill + fused mono — the ingest
-    # contract exists once, like _stage_chain for the stage math) --------
-    mono = ff.planar_ingest_mono(
-        frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
-        width=w,
-    )
 
     # ---- feed-forward chain to THRESH on the slab (shared stage math) ----
     # (img_h, img_w) + origin pin zero-padding to the GLOBAL image border:
@@ -227,21 +218,85 @@ def _kernel(
     # re-measured same-day).
     o_r = origin_ref[0] if use_origin else jnp.int32(0)
     o_c = origin_ref[1] if use_origin else jnp.int32(0)
+    _ingest_chain_pack(
+        frame_hbm, slab, sems, f_ref, p_ref, i, lo_ref[0], hi_ref[0],
+        o_r, o_c,
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        img_h=img_h, img_w=img_w, ring=ring,
+        kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
+        parity=parity, batch_idx=None, n_batch=1,
+    )
+
+    # ---- last step: phase-1 convergence + stream the edge map out --------
+    @pl.when(i == n_blocks - 1)
+    def _():
+        _phase1_finalize(
+            f_ref, p_ref, outbuf, osems, out_hbm, fout_hbm, pout_hbm,
+            flags_ref, jnp.int32(0),
+            h=h, w=w, hwp=hwp, wp=wp, n_pack=hwp - 1,
+            dilate_steps=dilate_steps, scan_after=scan_after,
+            max_iters=max_iters, carry_every=carry_every,
+            export_only=export_only, frame_idx=None,
+        )
+
+
+def _ingest_chain_pack(
+    frame_hbm,
+    slab,
+    sems,
+    f_ref,
+    p_ref,
+    i,
+    lo,
+    hi,
+    o_r,
+    o_c,
+    *,
+    bh: int,
+    n_blocks: int,
+    hwp: int,
+    wp: int,
+    h: int,
+    w: int,
+    img_h: int,
+    img_w: int,
+    ring: Tuple[int, int],
+    kernel_size: int,
+    grad_coeff: int,
+    norm: str,
+    parity: str,
+    batch_idx,
+    n_batch: int,
+):
+    """The megakernel's per-block FRONT half, shared by the single-frame
+    and batched kernels: raw planar ingest (feedforward.planar_ingest_mono
+    — the ingest contract exists once, like ``_stage_chain`` for the
+    stage math), the feed-forward chain to THRESH on the slab, and the
+    in-register bit-pack into the persistent planes.
+
+    Pack notes: thresh is the i32 slab; its core is
+    [PAD_R, PAD_R+bh) x [PAD_C, ..). Everywhere outside the image — the
+    last slab's rows past h AND the guard lanes [w, wp) — thresh is exact
+    NO_EDGE already (g carries the valid mask, so nms=0 and the strict >
+    comparisons yield 0), so whole-core packs land zeros in every
+    pad/guard position for free; sw - PAD_C == w + 128 == wp exactly when
+    w % 128 == 0 (mega_ok). The stores are STATICALLY predicated per
+    block: Mosaic requires DYNAMIC sublane store offsets to be provably
+    8-aligned (which would force kw % 8 == 0, i.e. 256-row slabs and
+    their padding waste) — a per-block pl.when with a Python-int offset
+    has no such constraint."""
+    kw = bh // 32
+    mono = ff.planar_ingest_mono(
+        frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
+        width=w, batch_idx=batch_idx, n_batch=n_batch,
+    )
     valid = ff._valid_mask_i32(i, o_r, o_c, mono.shape, bh, img_h, img_w)
     thresh = ff._stage_chain(
-        mono, valid, lo_ref[0], hi_ref[0],
+        mono, valid, lo, hi,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, out_stages=(CannyStage.THRESH,),
         emit=lambda stage, x: None,
     )
-
-    # ---- pack this slab's threshold words straight into the planes ------
-    # thresh is the i32 slab; its core is [PAD_R, PAD_R+bh) x [PAD_C, ..).
-    # Everywhere outside the image — the last slab's rows past h AND the
-    # guard lanes [w, wp) — thresh is exact NO_EDGE already (g carries the
-    # valid mask, so nms=0 and the strict > comparisons yield 0), so
-    # whole-core packs land zeros in every pad/guard position for free.
-    # sw - PAD_C == w + 128 == wp exactly when w % 128 == 0 (mega_ok).
     core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
     ring_r, ring_c = ring
     if ring_r or ring_c:
@@ -269,28 +324,12 @@ def _kernel(
         (core == CANDIDATE_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
         axis=1, dtype=jnp.int32,
     ).astype(jnp.uint32)
-    # Statically predicated stores: Mosaic requires DYNAMIC sublane store
-    # offsets to be provably 8-aligned (which would force kw % 8 == 0, i.e.
-    # 256-row slabs and their padding waste) — a per-block pl.when with a
-    # Python-int offset has no such constraint.
     for j in range(n_blocks):
 
         @pl.when(i == j)
         def _(j=j):
             f_ref[j * kw : (j + 1) * kw, :] = fw
             p_ref[j * kw : (j + 1) * kw, :] = pw
-
-    # ---- last step: phase-1 convergence + stream the edge map out --------
-    @pl.when(i == n_blocks - 1)
-    def _():
-        _phase1_finalize(
-            f_ref, p_ref, outbuf, osems, out_hbm, fout_hbm, pout_hbm,
-            flags_ref, jnp.int32(0),
-            h=h, w=w, hwp=hwp, wp=wp, n_pack=hwp - 1,
-            dilate_steps=dilate_steps, scan_after=scan_after,
-            max_iters=max_iters, carry_every=carry_every,
-            export_only=export_only, frame_idx=None,
-        )
 
 
 def _phase1_finalize(
@@ -958,39 +997,17 @@ def _kernel_batched(
     the exported planes land at the frame's batch index."""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    kw = bh // 32
 
-    mono = ff.planar_ingest_mono(
-        frame_hbm, slab, sems, i, bh=bh, n_blocks=n_blocks, img_h=h,
-        width=w, batch_idx=b, n_batch=n_batch,
-    )
-    valid = ff._valid_mask_i32(
-        i, jnp.int32(0), jnp.int32(0), mono.shape, bh, h, w
-    )
-    thresh = ff._stage_chain(
-        mono, valid, lo_ref[0], hi_ref[0],
+    _ingest_chain_pack(
+        frame_hbm, slab, sems, f_ref, p_ref, i, lo_ref[0], hi_ref[0],
+        jnp.int32(0), jnp.int32(0),
+        bh=bh, n_blocks=n_blocks, hwp=hwp, wp=wp, h=h, w=w,
+        img_h=h, img_w=w, ring=(0, 0),
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
-        parity=parity, out_stages=(CannyStage.THRESH,),
-        emit=lambda stage, x: None,
+        parity=parity, batch_idx=b, n_batch=n_batch,
     )
-    core = thresh[ff.PAD_R : ff.PAD_R + bh, ff.PAD_C : ff.PAD_C + wp]
-    io = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
-    fw = jnp.sum(
-        (core == FINAL_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
-        axis=1, dtype=jnp.int32,
-    ).astype(jnp.uint32)
-    pw = jnp.sum(
-        (core == CANDIDATE_EDGE).astype(jnp.int32).reshape(kw, 32, wp) << io,
-        axis=1, dtype=jnp.int32,
-    ).astype(jnp.uint32)
-    for j in range(n_blocks):
 
-        @pl.when(i == j)
-        def _(j=j):
-            f_ref[j * kw : (j + 1) * kw, :] = fw
-            p_ref[j * kw : (j + 1) * kw, :] = pw
-
-    n_pack = n_blocks * kw  # word rows the packs cover; the rest is guard
+    n_pack = n_blocks * (bh // 32)  # word rows the packs cover; rest is guard
 
     @pl.when(i == n_blocks - 1)
     def _():
@@ -1009,7 +1026,7 @@ def _kernel_batched(
     static_argnames=(
         "kernel_size", "grad_coeff", "norm", "parity",
         "dilate_steps", "scan_after", "max_iters", "carry_every",
-        "interpret",
+        "block_h", "interpret",
     ),
 )
 def canny_mega_batched(
@@ -1024,6 +1041,7 @@ def canny_mega_batched(
     scan_after: int = 10,
     max_iters: int = 100,
     carry_every: int = bitpack._CARRY_EVERY,
+    block_h: Optional[int] = None,
     interpret: bool = False,
 ):
     """(edge (B,H,W), flags (B,2), fpack (B,hwp,wp), ppack (B,hwp,wp)) for
@@ -1036,6 +1054,14 @@ def canny_mega_batched(
     geo = _mega_geometry(h, w)
     assert geo is not None, "caller must check mega_ok()"
     bh, n_blocks, hwp, wp = geo
+    if block_h is not None:
+        # Test hook (canny_mega's contract): force multi-block geometry
+        # at small shapes so the per-block predicated packs, the global
+        # slot cycle, and the cross-frame prefetch all execute.
+        assert block_h % 32 == 0
+        bh = block_h
+        n_blocks = -(-h // bh)
+        hwp = n_blocks * (bh // 32) + 1
     # Mosaic requires sliced DMA row counts to be 8-aligned: the per-frame
     # plane export copies f_ref -> fout[b], so the batched planes carry
     # extra PERMANENT-ZERO guard word-rows up to the 8-row granule
@@ -1115,6 +1141,7 @@ def canny_mega_pipeline_batched(
     scan_after: int = 10,
     max_iters: int = 100,
     cont: str = "auto",
+    block_h: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched production pipeline: ONE megakernel launch for the whole
@@ -1122,16 +1149,21 @@ def canny_mega_pipeline_batched(
     taken — the derived scan_after defaults cover every measured scene).
     Bit-identical per frame to canny_mega_pipeline (same schedule, same
     phase split)."""
+    if cont not in ("auto", "pallas", "xla", "split"):
+        raise ValueError(f"cont must be auto|pallas|xla|split, got {cont!r}")
     edge, flags, fpack, ppack = canny_mega_batched(
         frames_planar, low, high,
         kernel_size=kernel_size, grad_coeff=grad_coeff, norm=norm,
         parity=parity, dilate_steps=dilate_steps, scan_after=scan_after,
-        max_iters=max_iters, interpret=interpret,
+        max_iters=max_iters, block_h=block_h, interpret=interpret,
     )
     if scan_after >= max_iters:
         return edge
     h, w = frames_planar.shape[-2:]
     _, _, hwp, wp = _mega_geometry(h, w)
+    if block_h is not None:
+        n_bl = -(-h // block_h)
+        hwp = n_bl * (block_h // 32) + 1
     # Policy from the UNPADDED geometry (identical form choice to the
     # single-frame pipeline — a review catch: boundary shapes must not
     # pick a different continuation batched vs single); the continuation

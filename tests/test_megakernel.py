@@ -455,3 +455,38 @@ class TestBatchedMegakernel:
         assert fn._cache_size() == n0
         want2 = oracle.canny_pipeline(frames[0], 20, 60)["hyster"]
         np.testing.assert_array_equal(out2[0], want2)
+
+    def test_multiblock_batched_with_prefetch(self):
+        """Forced bh=32 at 80x256 (3 blocks, partial last slab) x B=3:
+        the per-block predicated packs, the GLOBAL slot cycle, and the
+        cross-frame DMA prefetch all execute — per-frame bit-exact vs
+        the XLA backend in both scan_after regimes (review finding: all
+        other batched tests were single-block geometries)."""
+        import jax.numpy as jnp
+
+        from cudacam_tpu import CannyConfig
+        from cudacam_tpu.ops import xla_ops
+        from cudacam_tpu.ops.pallas.megakernel import (
+            canny_mega_pipeline_batched,
+        )
+        from cudacam_tpu.stages import CannyStage
+
+        h, w = 80, 256
+        frames = self._frames(3, h, w)
+        lo, hi = np.int32(10), np.int32(40)
+        for scan_after in (12, 1):
+            cfg = CannyConfig(height=h, width=w,
+                              hysteresis_scan_after=scan_after)
+            got = np.asarray(canny_mega_pipeline_batched(
+                jnp.transpose(frames, (0, 3, 1, 2)), lo, hi,
+                dilate_steps=cfg.hysteresis_inner_steps,
+                scan_after=scan_after,
+                max_iters=cfg.max_hysteresis_iters,
+                block_h=32, interpret=True,
+            ))
+            for b in range(3):
+                want = np.asarray(xla_ops.canny_to_stage(
+                    frames[b], lo, hi, cfg, CannyStage.HYSTER))
+                np.testing.assert_array_equal(
+                    got[b], want, err_msg=f"sa={scan_after} b={b}"
+                )

@@ -456,16 +456,22 @@ fr_b2 = np.stack([fr_m, fr_m[::-1].copy()])
 pl_b2 = jnp.asarray(fr_b2.transpose(0, 3, 1, 2))
 ref_b2 = [oracle.canny_pipeline(f, 10, 40)["hyster"] for f in fr_b2]
 for sa_b in (cfg_m.hysteresis_scan_after, 1):
-    out_b2 = np.asarray(_cmpb(
-        pl_b2, jnp.int32(10), jnp.int32(40),
-        dilate_steps=16, scan_after=sa_b, max_iters=100,
-    ))
-    for bb in range(2):
-        if not np.array_equal(out_b2[bb], ref_b2[bb]):
-            failures.append(
-                f"batched mega sa={sa_b} b={bb} "
-                f"n={(out_b2[bb] != ref_b2[bb]).sum()}"
-            )
+    # bh_b=32 forces MULTI-BLOCK frames (2 blocks at 64 rows): the
+    # per-block predicated packs, the global slot cycle, and the
+    # cross-frame DMA prefetch all execute on real silicon (the natural
+    # geometry at this shape is single-block).
+    for bh_b in (None, 32):
+        out_b2 = np.asarray(_cmpb(
+            pl_b2, jnp.int32(10), jnp.int32(40),
+            dilate_steps=16, scan_after=sa_b, max_iters=100,
+            block_h=bh_b,
+        ))
+        for bb in range(2):
+            if not np.array_equal(out_b2[bb], ref_b2[bb]):
+                failures.append(
+                    f"batched mega sa={sa_b} bh={bh_b} b={bb} "
+                    f"n={(out_b2[bb] != ref_b2[bb]).sum()}"
+                )
 
 # Grayscale (channels=1) sharded mega-export on hardware: the channel-free
 # ingest through the export-mode kernel.
