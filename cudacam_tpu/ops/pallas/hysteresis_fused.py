@@ -42,10 +42,17 @@ ONE factory schedule):
   classification against traced scalar bounds during the pack (no u8 map
   ever exists);
 * :func:`sweep_fused` — ALL K threshold-sweep tails in one launch against
-  a VMEM-resident magnitude plane (one grid step per pair);
+  a VMEM-resident magnitude plane (one grid step per pair; r5's
+  ``monotone_seed`` warm-starts each pair from its dominating
+  predecessor's converged plane);
 * :func:`saturate_packed` — packed planes in/out, both phases, no
   pack/unpack: the sharded round loop's local operator
   (parallel/packed_halo.py);
+* :func:`converge_packed_split` — column-sliced convergence with
+  seam-halo rounds under a total-round budget: the compile-tractable
+  escalation form for plane shapes whose monolithic scan kernel the
+  Mosaic compiler cannot handle (the 8K continuation,
+  megakernel._cont_split);
 * :func:`hysteresis_fused_batched` — section-stacked multi-map variant
   (kept with its bit-exactness pins; the sweep no longer uses it — see
   its docstring for when stacking pays).
